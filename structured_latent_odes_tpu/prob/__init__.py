@@ -1,0 +1,15 @@
+from structured_latent_odes_tpu.prob.distributions import (  # noqa: F401
+    bernoulli_logpmf,
+    kl_normal_normal,
+    laplace_logpdf,
+    normal_logpdf,
+    onehot_categorical_logpmf,
+    sample_laplace,
+    sample_normal,
+    sum_event,
+)
+from structured_latent_odes_tpu.prob.elbo import (  # noqa: F401
+    Trace,
+    masked_l1_per_channel,
+    quantile_laplace_logprob,
+)

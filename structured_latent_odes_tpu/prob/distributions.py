@@ -1,0 +1,72 @@
+"""Distribution log-probabilities and reparameterized sampling.
+
+Minimal explicit replacements for the Pyro distribution surface the reference
+actually uses (Normal/Laplace/Bernoulli/OneHotCategorical with ``.to_event(1)``
+— e.g. /root/reference/models/mechanistic_cvs.py:128-139,199-209,267-270).
+All functions are pure, broadcast like jnp, and return *elementwise* log-probs;
+``sum_event`` applies the ``to_event(1)`` reduction (sum over the trailing
+event dim, keeping the batch dim for per-sample masking).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_LOG_2PI = math.log(2.0 * math.pi)
+_EPS = 1e-7
+
+
+def normal_logpdf(x: Array, loc: Array, scale: Array) -> Array:
+    z = (x - loc) / scale
+    return -0.5 * (z * z) - jnp.log(scale) - 0.5 * _LOG_2PI
+
+
+def laplace_logpdf(x: Array, loc: Array, scale: Array) -> Array:
+    return -jnp.abs(x - loc) / scale - jnp.log(2.0 * scale)
+
+
+def bernoulli_logpmf(x: Array, probs: Array) -> Array:
+    p = jnp.clip(probs, _EPS, 1.0 - _EPS)
+    return x * jnp.log(p) + (1.0 - x) * jnp.log1p(-p)
+
+
+def onehot_categorical_logpmf(x: Array, probs: Array) -> Array:
+    """log p of a one-hot ``x`` under (already normalized) class ``probs``.
+
+    Returns elementwise ``x * log p`` — summing the trailing dim yields the
+    categorical log-pmf, matching ``OneHotCategorical(probs).to_event(1)``.
+    """
+    p = jnp.clip(probs, _EPS, 1.0)
+    return x * jnp.log(p)
+
+
+def sample_normal(key: Array, loc: Array, scale: Array) -> Array:
+    """Reparameterized normal draw: ``loc + scale * eps``."""
+    eps = jax.random.normal(key, jnp.shape(loc), dtype=jnp.result_type(loc))
+    return loc + scale * eps
+
+
+def sample_laplace(key: Array, loc: Array, scale: Array) -> Array:
+    u = jax.random.uniform(
+        key, jnp.shape(loc), dtype=jnp.result_type(loc), minval=-0.5 + 1e-7, maxval=0.5
+    )
+    return loc - scale * jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
+
+
+def kl_normal_normal(loc_q: Array, scale_q: Array, loc_p: Array, scale_p: Array) -> Array:
+    """Analytic KL(q || p) between diagonal normals (elementwise)."""
+    var_ratio = (scale_q / scale_p) ** 2
+    t1 = ((loc_q - loc_p) / scale_p) ** 2
+    return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))
+
+
+def sum_event(logp: Array, event_dims: int = 1) -> Array:
+    """Sum the trailing ``event_dims`` axes (Pyro's ``.to_event``)."""
+    if event_dims == 0:
+        return logp
+    return jnp.sum(logp, axis=tuple(range(-event_dims, 0)))
