@@ -109,7 +109,7 @@ def make_dataset(
     r_tpr_mod = np.where(rng.rand(data_size) > 0.5, 0.0, 0.5).astype(np.float32)
 
     states = np.asarray(
-        jax.jit(simulate_batch, static_argnums=(2,))(
+        jax.jit(simulate_batch, static_argnums=(2, 3, 4))(
             jnp.asarray(i_ext), jnp.asarray(r_tpr_mod), seq_len, delta_t
         )
     )  # (N, T, 4)

@@ -1,0 +1,205 @@
+"""Shared epoch-loop machinery for the three dataset drivers.
+
+Reproduces the reference training skeleton (SURVEY.md §3.1): per-minibatch
+dual-SVI steps, per-epoch evaluation of val/train splits under posterior and
+prior reconstruction (``input_pred_stats``, /root/reference/training_cvs.py:
+43-144), per-dataset early-stopping policies, and the final test evaluation
+with the ``.npy`` artifact dump.
+
+TPU-first: all eval batches are padded to a static size so each split reuses
+one compiled executable; recon/classifier outputs are gathered on host and
+trimmed by the sample mask.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from structured_latent_odes_tpu.data.loader import full_batch, iter_minibatches
+from structured_latent_odes_tpu.models.spec import ModelSpec
+from structured_latent_odes_tpu.train import metrics as M
+
+log = logging.getLogger("slode")
+
+
+@dataclass
+class EvalStats:
+    elbo: List[float]  # per-loss summed (loss/batch_size per batch)
+    l1: float
+    label_metrics: Dict[str, float]
+    recon: Dict[str, np.ndarray]
+    labels: Dict[str, np.ndarray]
+    observations: np.ndarray
+
+
+def _device_batch(batch):
+    return {k: jax.device_put(v) for k, v in batch.items()}
+
+
+def eval_split(
+    spec: ModelSpec,
+    params,
+    key,
+    split: Dict[str, np.ndarray],
+    eval_fns,
+    batch_size: int,
+    is_post: bool,
+    collect_recon: bool = True,
+) -> EvalStats:
+    """The ``input_pred_stats`` equivalent: per-loss ELBO, classifier metrics,
+    recon outputs concatenated over the split."""
+    evaluate_losses, classify, reconstruct = eval_fns
+    n_total = split["observations"].shape[0]
+    elbo = [0.0, 0.0]
+    total_l1, size = 0.0, 0
+    recon_acc: Dict[str, List[np.ndarray]] = {}
+    preds_acc: Dict[str, List[np.ndarray]] = {}
+    labels_acc: Dict[str, List[np.ndarray]] = {}
+    obs_acc: List[np.ndarray] = []
+
+    for batch in iter_minibatches(split, batch_size, shuffle=False, pad=True):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        b = _device_batch(batch)
+        n = int(batch["mask"].sum())
+        lm, la = evaluate_losses(params, k1, b)
+        elbo[0] += float(lm) / n
+        elbo[1] += float(la) / n
+
+        r = reconstruct(params, k2, b, is_post)
+        total_l1 += float(r["l1"])
+        size += n
+        if collect_recon:
+            sel = batch["mask"] > 0
+            for k in ("mu_50", "mu_75", "mu_25", "solution_xt", "z", "std"):
+                recon_acc.setdefault(k, []).append(np.asarray(r[k])[sel])
+            obs_acc.append(batch["observations"][sel])
+            for label in spec.labels:
+                labels_acc.setdefault(label.name, []).append(batch[label.name][sel])
+
+        p = classify(params, k3, b["observations"])
+        sel = batch["mask"] > 0
+        for label in spec.labels:
+            preds_acc.setdefault(label.name, []).append(np.asarray(p[label.name])[sel])
+            if not collect_recon:
+                labels_acc.setdefault(label.name, []).append(batch[label.name][sel])
+
+    labels = {k: np.concatenate(v) for k, v in labels_acc.items()}
+    label_metrics = {}
+    for label in spec.labels:
+        pred = np.concatenate(preds_acc[label.name])
+        target = labels[label.name]
+        if label.kind == "bernoulli":
+            label_metrics[label.name] = M.accuracy(pred, target)
+        elif label.kind == "onehot":
+            label_metrics[label.name] = M.onehot_accuracy(pred, target)
+        else:
+            label_metrics[label.name] = M.mse(pred, target)
+
+    return EvalStats(
+        elbo=elbo,
+        l1=total_l1 / max(size, 1),
+        label_metrics=label_metrics,
+        recon={k: np.concatenate(v) for k, v in recon_acc.items()} if recon_acc else {},
+        labels=labels,
+        observations=np.concatenate(obs_acc) if obs_acc else np.zeros(0),
+    )
+
+
+def run_training_epochs(
+    *,
+    spec: ModelSpec,
+    state,
+    train_step,
+    eval_fns,
+    splits: Dict[str, Dict[str, np.ndarray]],
+    config,
+    rng: np.random.RandomState,
+    eval_key,
+    select_best: Callable,  # (epoch, val_stats, train_stats, best) -> best'
+    on_epoch: Optional[Callable] = None,
+    eval_train_stats: bool = True,
+):
+    """The shared epoch loop. ``select_best`` implements each dataset's
+    (different!) best-model policy; it receives and returns a dict with at
+    least {'params', 'epoch', 'criterion'}."""
+    best = {"params": state.params, "epoch": 0, "criterion": np.inf}
+    batch_size = config.mini_batch_size
+    t_start = time.time()
+
+    for epoch in range(config.num_epochs + 1):
+        epoch_losses = []
+        for batch in iter_minibatches(splits["train"], batch_size, shuffle=True, rng=rng):
+            state, mets = train_step(state, _device_batch(batch))
+            epoch_losses.append([float(mets["loss_main"]), float(mets["loss_aux"])])
+
+        eval_key, k1, k2, k3, k4 = jax.random.split(eval_key, 5)
+        val_post = eval_split(
+            spec, state.params, k1, splits["val"], eval_fns, batch_size, is_post=True
+        )
+        val_prior = eval_split(
+            spec, state.params, k2, splits["val"], eval_fns, batch_size, is_post=False
+        )
+        if eval_train_stats:
+            train_post = eval_split(
+                spec, state.params, k3, splits["train"], eval_fns, batch_size, True,
+                collect_recon=False,
+            )
+            train_prior = eval_split(
+                spec, state.params, k4, splits["train"], eval_fns, batch_size, False,
+                collect_recon=False,
+            )
+        else:
+            train_post = train_prior = val_post
+
+        best = select_best(
+            epoch,
+            {"post": val_post, "prior": val_prior},
+            {"post": train_post, "prior": train_prior},
+            best,
+            state.params,
+            epoch_losses,
+        )
+        improved = "*" if best["epoch"] == epoch else ""
+
+        epoch_mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        metric_str = " ".join(
+            "%s=(%.4f,%.4f)" % (name, train_post.label_metrics[name], val_post.label_metrics[name])
+            for name in train_post.label_metrics
+        )
+        line = "[Epoch %d/%d] loss= %.4f  %s l1=(%.6f,%.6f) %s  [%.1fs]" % (
+            epoch,
+            config.num_epochs,
+            epoch_mean_loss,
+            metric_str,
+            train_post.l1,
+            val_post.l1,
+            improved,
+            time.time() - t_start,
+        )
+        print(line)
+        log.debug(line)
+
+        if on_epoch is not None:
+            on_epoch(epoch, state, val_post, val_prior, train_post, train_prior)
+
+    return state, best
+
+
+def final_test_eval(
+    spec: ModelSpec,
+    best_params,
+    key,
+    split,
+    eval_fns,
+    batch_size: int,
+):
+    key, k1, k2 = jax.random.split(key, 3)
+    post = eval_split(spec, best_params, k1, split, eval_fns, batch_size, is_post=True)
+    prior = eval_split(spec, best_params, k2, split, eval_fns, batch_size, is_post=False)
+    return post, prior

@@ -1,0 +1,207 @@
+"""CVS training driver (reference /root/reference/training_cvs.py).
+
+Run: ``python -m structured_latent_odes_tpu.training_cvs [--model Mechanistic]
+[--num-epochs N] ...``. Reproduces the reference workflow — dataset build,
+dual-SVI training, per-epoch val/train posterior+prior stats, val-ELBO early
+stopping (training_cvs.py:325-331), final test eval with the ``.npy``
+artifact contract — plus capability upgrades: CLI flags, checkpointing, and
+static-shape padded batching.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import numpy as np
+
+from structured_latent_odes_tpu.data import cvs as cvs_data
+from structured_latent_odes_tpu.data.configs import load_cvs_config
+from structured_latent_odes_tpu.data.loader import normalize_split, to_model_layout
+from structured_latent_odes_tpu.data.transforms import create_transforms
+from structured_latent_odes_tpu.models import cvs_spec, init_params
+from structured_latent_odes_tpu.train import artifacts, checkpoint
+from structured_latent_odes_tpu.train.driver import (
+    eval_split,
+    final_test_eval,
+    run_training_epochs,
+)
+from structured_latent_odes_tpu.train.svi import make_eval_fns, make_train_step
+from structured_latent_odes_tpu.utils import plotting, set_seed
+
+log = logging.getLogger("slode")
+
+CHANNELS = ("Pa", "Pv", "fHR")
+
+
+def build_splits(config):
+    splits, norm_params = cvs_data.load_splits(
+        config, reference_dir=config.get("reference_data_dir")
+    )
+    transforms = create_transforms(config.norm, norm_params)
+    out = {}
+    for name, split in splits.items():
+        out[name] = to_model_layout(normalize_split(split, transforms))
+    return out, norm_params
+
+
+def train(config):
+    print(config.to_json())
+    log.debug(config.to_json())
+    key = set_seed(config.seed)
+    rng = np.random.RandomState(config.seed)
+
+    splits, _ = build_splits(config)
+    for name in ("train", "val", "test"):
+        print(name.upper(), "obs=", splits[name]["observations"].shape)
+
+    times = np.arange(0.0, config.seq_len * config.delta_t, config.delta_t, dtype=np.float32)
+    spec = cvs_spec(config)
+    key, k_init, k_train, k_eval = jax.random.split(key, 4)
+    params = init_params(k_init, spec)
+    n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
+    print(f"Model: {config.model} - with {n_params} parameters.")
+
+    init_state, train_step = make_train_step(spec, times, config.learning_rate, params)
+    eval_fns = make_eval_fns(spec, times)
+    state = init_state(params, k_train)
+
+    out_dir = artifacts.results_dir(config.model, config.get("results_root", "."))
+
+    def select_best(epoch, val, train_s, best, params_now, epoch_losses):
+        val_elbo = sum(val["post"].elbo) * len(val["post"].elbo)
+        if best["criterion"] >= val_elbo:
+            return {"params": params_now, "epoch": epoch, "criterion": val_elbo}
+        return best
+
+    def on_epoch(epoch, state, val_post, val_prior, train_post, train_prior):
+        if config.plot_epoch and epoch % config.plot_epoch == 0 and config.get("plot", True):
+            plotting.plot_label_grid(
+                out_dir,
+                f"val_{epoch}_post",
+                val_post.observations,
+                val_post.recon,
+                times,
+                {"iext": val_post.labels["iext"], "rtpr": val_post.labels["rtpr"]},
+                CHANNELS,
+            )
+            plotting.visualize_latent(
+                out_dir, val_post.recon["z"], val_prior.recon["z"], epoch, config.seed
+            )
+
+    state, best = run_training_epochs(
+        spec=spec,
+        state=state,
+        train_step=train_step,
+        eval_fns=eval_fns,
+        splits=splits,
+        config=config,
+        rng=rng,
+        eval_key=k_eval,
+        select_best=select_best,
+        on_epoch=on_epoch,
+        eval_train_stats=config.get("eval_train_stats", True),
+    )
+
+    # final test on best params (post + prior), with artifact dump
+    key, k_test = jax.random.split(key)
+    test_post, test_prior = final_test_eval(
+        spec, best["params"], k_test, splits["test"], eval_fns, config.mini_batch_size
+    )
+    artifacts.dump_common(
+        out_dir,
+        test_post.observations,
+        times,
+        {"iext": test_post.labels["iext"].squeeze(-1), "rtpr": test_post.labels["rtpr"].squeeze(-1)},
+    )
+    artifacts.dump_recon(out_dir, "post", test_post.recon)
+    artifacts.dump_recon(out_dir, "prior", test_prior.recon)
+    if config.get("plot", True):
+        for tag, stats in (("post", test_post), ("prior", test_prior)):
+            plotting.plot_label_grid(
+                out_dir,
+                f"test_{best['epoch']}_{tag}",
+                stats.observations,
+                stats.recon,
+                times,
+                {"iext": stats.labels["iext"], "rtpr": stats.labels["rtpr"]},
+                CHANNELS,
+            )
+    checkpoint.save(
+        os.path.join(out_dir, "best_model.npz"),
+        best["params"],
+        metadata={"epoch": best["epoch"], "criterion": float(best["criterion"])},
+    )
+
+    final = "FINAL TEST: iext_acc=(%.4f,%.4f)  rtpr_acc=(%.4f,%.4f) l1=(%.6f,%.6f)" % (
+        test_post.label_metrics["iext"],
+        test_prior.label_metrics["iext"],
+        test_post.label_metrics["rtpr"],
+        test_prior.label_metrics["rtpr"],
+        test_post.l1,
+        test_prior.l1,
+    )
+    print(final)
+    log.debug(final)
+    elbo_line = "ELBO: best_epoch: {} post: {} prior: {}".format(
+        best["epoch"], test_post.elbo, test_prior.elbo
+    )
+    print(elbo_line)
+    log.debug(elbo_line)
+    return {"best": best, "test_post": test_post, "test_prior": test_prior}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", choices=["Mechanistic", "MechanisticGauss"], default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--mini-batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--quantile-diff", type=float, default=None)
+    p.add_argument("--solver", default=None)
+    p.add_argument("--ode-backend", default=None)
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--reference-data-dir", default=None,
+                   help="load the upstream torch pickles instead of generating")
+    p.add_argument("--results-root", default=".")
+    p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--no-eval-train", action="store_true",
+                   help="skip per-epoch train-split statistics (faster)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = load_cvs_config()
+    for k, v in vars(args).items():
+        k2 = k.replace("-", "_")
+        if v is not None and k2 in config:
+            config[k2] = v
+    if args.num_epochs is not None:
+        config.num_epochs = args.num_epochs
+    if args.reference_data_dir:
+        config.reference_data_dir = args.reference_data_dir
+    config.results_root = args.results_root
+    config.plot = not args.no_plot
+    config.eval_train_stats = not args.no_eval_train
+
+    out_dir = artifacts.results_dir(config.model, config.results_root)
+    setup_logging(out_dir)
+    return train(config)
+
+
+def setup_logging(out_dir: str) -> None:
+    """File logging to results_<Model>/model.log for the 'slode' logger only
+    (root-level DEBUG would drown the log in jax internals)."""
+    logger = logging.getLogger("slode")
+    logger.setLevel(logging.DEBUG)
+    handler = logging.FileHandler(os.path.join(out_dir, "model.log"), mode="w")
+    handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    logger.addHandler(handler)
+
+
+if __name__ == "__main__":
+    main()
