@@ -1,0 +1,237 @@
+"""Synthetic-biology plate-reader ("proc") dataset pipeline.
+
+Re-implements the reference's CSV ingestion + preprocessing
+(/root/reference/data/proc/load_proc_data.py:69-125,
+/root/reference/utils/proc_dataset.py:17-204):
+
+- parse each plate-reader CSV: device rows, ``C6=x;C12=y`` condition strings,
+  per-signal reading columns (signal name extracted from the ``Raw Data
+  (EYFP) ...`` headers), the time row for the OD signal;
+- merge all files onto the coarsest time grid by nearest-neighbor alignment;
+- per-signal max scaling + per-series background subtraction;
+- device -> multi-one-hot cassette encoding (aR/aS RBS groups);
+- log1p of input concentrations;
+- 4-fold cross-validation split or a held-out-device (zero-shot) split.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def _extract_signal(header: str) -> str:
+    """Signal name from a column header: text inside the first parentheses,
+    else the header itself (e.g. 'Raw Data (EYFP) 12 - 2 h' -> 'EYFP')."""
+    m = re.search(r"\(([^)]*)\)", header)
+    return m.group(1) if m else header
+
+
+def _parse_conditions(s: str) -> OrderedDict:
+    """'C6=25000;C12=5' -> {'C6': 25000.0, 'C12': 5.0}; non-assignments -> {}."""
+    out: OrderedDict = OrderedDict()
+    if "=" not in s:
+        return out
+    for part in s.split(";"):
+        k, _, v = part.partition("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def parse_file(csv_path: str, data_cfg) -> Optional[Tuple[np.ndarray, ...]]:
+    """Parse one plate-reader CSV.
+
+    Returns (device_indices (L,), treatments (L, C), times (T,),
+    observations (L, S, T)) or None if no configured devices appear.
+    """
+    df = pd.read_csv(csv_path, sep=",", na_filter=False)
+    time_row = df.iloc[0, 5:]
+    data_rows = df.iloc[1:]
+    keep = data_rows.iloc[:, 0].isin(data_cfg.devices)
+    data_rows = data_rows.loc[keep]
+    if len(data_rows) == 0:
+        return None
+
+    device_idx = np.array(
+        [int(data_cfg.device_map[name]) for name in data_rows.iloc[:, 0]], dtype=int
+    )
+
+    conds = [_parse_conditions(c) for c in data_rows.iloc[:, 4]]
+    all_keys: List[str] = []
+    for c in conds:
+        for k in c:
+            if k not in all_keys:
+                all_keys.append(k)
+    extra_keys = [k for k in all_keys if k not in data_cfg.conditions]
+    # keep rows whose non-configured treatments are all zero
+    keep_locs = [
+        i for i, c in enumerate(conds) if all(c.get(k, 0.0) == 0.0 for k in extra_keys)
+    ]
+    treatments = np.array(
+        [[conds[i].get(k, 0.0) for k in data_cfg.conditions] for i in keep_locs],
+        dtype=np.float32,
+    )
+    device_idx = device_idx[keep_locs]
+
+    headers = [str(c).split(".")[0] for c in df.columns[5:]]
+    header_signals = np.array([_extract_signal(h) for h in headers])
+    readings = data_rows.iloc[keep_locs, 5:].to_numpy(dtype=np.float32)
+    obs = np.stack(
+        [readings[:, header_signals == sig] for sig in data_cfg.signals], axis=1
+    )  # (L, S, T)
+    times = time_row.to_numpy(dtype=np.float32)[header_signals == "OD"]
+
+    dtype = np.float32 if data_cfg.dtype == "float32" else np.float64
+    return device_idx, treatments.astype(dtype), times.astype(dtype), obs.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# merging / preprocessing
+# ---------------------------------------------------------------------------
+
+
+def merge_observations(times_list, observations_list):
+    """Align every file's series to one file's time grid by nearest-neighbor
+    index lookup, then stack (proc_dataset.py:17-26).
+
+    Quirk preserved for golden-shape parity: the reference picks the grid of
+    the file with the fewest observation ROWS (``len(observations)`` is the
+    series count, not the timepoint count) — which selects a 100-point grid
+    even though one file has only 86 timepoints. The resulting dataset is
+    (312, 4, 100), matching sbio_eval_folds_final.ipynb cell 2.
+    """
+    lengths = [len(obs) for obs in observations_list]
+    chosen = times_list[int(np.argmin(lengths))]
+    aligned = []
+    for t, obs in zip(times_list, observations_list):
+        idx = np.abs(np.asarray(t)[None, :] - np.asarray(chosen)[:, None]).argmin(axis=1)
+        aligned.append(obs[:, :, idx])
+    return chosen, np.vstack(aligned)
+
+
+def scale_data(X: np.ndarray, data_cfg) -> Tuple[np.ndarray, List[float]]:
+    """Per-signal max scaling (or configured scales) + per-series background
+    subtraction (proc_dataset.py:37-50). X: (L, S, T), modified copy returned."""
+    X = X.copy()
+    n_signals = X.shape[1]
+    if data_cfg.normalize is None:
+        scales = [float(np.max(X[:, i, :])) for i in range(n_signals)]
+    else:
+        scales = list(data_cfg.normalize)
+    for i, scale in enumerate(scales):
+        X[:, i, :] /= scale
+        if data_cfg.subtract_background:
+            X[:, i, :] -= X[:, i, :].min(axis=1, keepdims=True)
+    return X, scales
+
+
+def get_cassettes(device_indices: np.ndarray, data_cfg) -> np.ndarray:
+    """Multi-one-hot cassette encoding: per group (aR then aS), one-hot of the
+    device's component id (proc_dataset.py:53-73). Shape (L, device_depth)."""
+
+    def depth(values):
+        return len(set(v for v in values if v is not None))
+
+    rows = []
+    for d in device_indices:
+        name = data_cfg.device_idx_to_device_name[int(d)]
+        parts = []
+        for _, cm in data_cfg.component_maps.items():
+            n = depth(cm.values())
+            v = np.zeros(n, dtype=np.float32)
+            if cm[name] is not None:
+                v[cm[name]] = 1.0
+            parts.append(v)
+        rows.append(np.concatenate(parts))
+    return np.stack(rows)
+
+
+def build_dataset(config) -> Dict[str, np.ndarray]:
+    """Parse + merge all configured files into one dataset dict:
+    observations (L, S, T), dev_1hot (L, depth), inputs (L, 2) [log1p],
+    devices (L,), times (T,), scales (S,)."""
+    parsed = [
+        parse_file(os.path.join(config.data_path, f), config.data)
+        for f in config.data.files
+    ]
+    parsed = [p for p in parsed if p is not None]
+    devices = np.concatenate([p[0] for p in parsed])
+    inputs = np.concatenate([p[1] for p in parsed])
+    times, observations = merge_observations([p[2] for p in parsed], [p[3] for p in parsed])
+    obs_scaled, scales = scale_data(observations, config.data)
+    return {
+        "observations": obs_scaled,  # (L, S, T) — already channel-major
+        "dev_1hot": get_cassettes(devices, config.data),
+        "inputs": np.log1p(inputs).astype(np.float32),
+        "devices": devices,
+        "times": np.asarray(times, dtype=np.float32),
+        "scales": np.asarray(scales, dtype=np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# splits
+# ---------------------------------------------------------------------------
+
+
+def split_holdout_device(dataset, config) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-shot split: the named device becomes the validation set
+    (proc_dataset.py:159-170)."""
+    if config.heldout not in config.data.device_map:
+        raise ValueError(
+            f"--heldout must be one of {list(config.data.device_map)} (got {config.heldout!r})"
+        )
+    holdout_id = int(config.data.device_map[config.heldout])
+    devices = dataset["devices"].astype(int)
+    val = np.where(devices == holdout_id)[0]
+    train = np.where(devices != holdout_id)[0]
+    return train, val
+
+
+def split_folds(dataset, config) -> Tuple[np.ndarray, np.ndarray]:
+    n = len(dataset["devices"])
+    if not 1 <= config.split <= config.folds:
+        raise ValueError(
+            f"--split must be in [1, {config.folds}] (got {config.split})"
+        )
+    rng = np.random.RandomState(config.seed)
+    indices = rng.permutation(n)
+    chunks = np.array_split(indices, config.folds)
+    val_ids = np.sort(chunks[config.split - 1])
+    train_ids = np.setdiff1d(np.arange(n, dtype=int), val_ids)
+    return train_ids, val_ids
+
+
+def build_splits(config):
+    """Returns (splits, times): train/val dicts in MODEL layout with labels
+    unpacked the way the reference's batch_to_device does
+    (training_proc.py:25-33): aR = dev_1hot[:, :3], aS = dev_1hot[:, 3:],
+    C12 = inputs[:, 0:1], C6 = inputs[:, 1:2]."""
+    dataset = build_dataset(config)
+    if config.get("heldout"):
+        train_ids, val_ids = split_holdout_device(dataset, config)
+    else:
+        train_ids, val_ids = split_folds(dataset, config)
+
+    def pack(ids):
+        return {
+            "observations": dataset["observations"][ids].astype(np.float32),
+            "aR": dataset["dev_1hot"][ids][:, :3],
+            "aS": dataset["dev_1hot"][ids][:, 3:],
+            "C12": dataset["inputs"][ids][:, 0:1],
+            "C6": dataset["inputs"][ids][:, 1:2],
+            "dev_1hot": dataset["dev_1hot"][ids],
+            "inputs": dataset["inputs"][ids],
+        }
+
+    return {"train": pack(train_ids), "val": pack(val_ids)}, dataset["times"]

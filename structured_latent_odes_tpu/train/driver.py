@@ -157,6 +157,7 @@ def run_training_epochs(
         else:
             train_post = train_prior = val_post
 
+        prev_best = best
         best = select_best(
             epoch,
             {"post": val_post, "prior": val_prior},
@@ -165,7 +166,7 @@ def run_training_epochs(
             state.params,
             epoch_losses,
         )
-        improved = "*" if best["epoch"] == epoch else ""
+        improved = "*" if best is not prev_best else ""
 
         epoch_mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         metric_str = " ".join(

@@ -1,0 +1,191 @@
+"""Synthetic-biology (proc) training driver (reference
+/root/reference/training_proc.py).
+
+Dataset-specific behaviors reproduced: labels unpacked from the cassette
+multi-hot + log inputs (training_proc.py:25-33); accuracy + MSE metrics;
+best-model policy — val-ELBO (posterior stats only) under cross-validation,
+every-epoch overwrite under a held-out device / zero-shot split (:380-393);
+test-time 200-draw ``multiple_samples`` dump (:205-223).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import numpy as np
+
+from structured_latent_odes_tpu.data import proc as proc_data
+from structured_latent_odes_tpu.data.configs import load_proc_config
+from structured_latent_odes_tpu.data.loader import full_batch
+from structured_latent_odes_tpu.models import init_params, proc_spec
+from structured_latent_odes_tpu.train import artifacts, checkpoint
+from structured_latent_odes_tpu.train.driver import final_test_eval, run_training_epochs
+from structured_latent_odes_tpu.train.svi import make_eval_fns, make_train_step
+from structured_latent_odes_tpu.training_challenge import multiple_samples
+from structured_latent_odes_tpu.utils import plotting, set_seed
+
+log = logging.getLogger("slode")
+
+CHANNELS = ("OD", "mRFP1", "EYFP", "ECFP")
+
+
+def train(config):
+    print(config.to_json())
+    log.debug(config.to_json())
+    key = set_seed(config.seed)
+    rng = np.random.RandomState(config.seed)
+
+    splits, times = proc_data.build_splits(config)  # already (N, K, T), scaled
+    for name in ("train", "val"):
+        print(name.upper(), "obs=", splits[name]["observations"].shape)
+
+    spec = proc_spec(config, n_time=len(times))
+    key, k_init, k_train, k_eval = jax.random.split(key, 4)
+    params = init_params(k_init, spec)
+    n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
+    print(f"Model: {config.model} - with {n_params} parameters.")
+
+    init_state, train_step = make_train_step(spec, times, config.learning_rate, params)
+    eval_fns = make_eval_fns(spec, times)
+    state = init_state(params, k_train)
+    out_dir = artifacts.results_dir(config.model, config.get("results_root", "."))
+
+    def select_best(epoch, val, train_s, best, params_now, epoch_losses):
+        val_elbo = float(np.sum(val["post"].elbo))
+        if config.get("heldout"):
+            # zero-shot: overwrite every epoch (training_proc.py:389-393)
+            return {"params": params_now, "epoch": epoch + 1, "criterion": val_elbo}
+        if val_elbo < best["criterion"]:
+            return {"params": params_now, "epoch": epoch + 1, "criterion": val_elbo}
+        return best
+
+    def on_epoch(epoch, state, val_post, val_prior, train_post, train_prior):
+        if config.plot_epoch and epoch % config.plot_epoch == 0 and config.get("plot", True):
+            sel = slice(None)
+            plotting.plot_by_device(
+                out_dir,
+                f"val_{epoch}_post",
+                val_post.observations,
+                val_post.recon,
+                times,
+                np.concatenate([val_post.labels["aR"], val_post.labels["aS"]], axis=1),
+                np.concatenate([val_post.labels["C12"], val_post.labels["C6"]], axis=1),
+                CHANNELS,
+            )
+            plotting.visualize_latent(
+                out_dir, val_post.recon["z"], val_prior.recon["z"], epoch, config.seed
+            )
+
+    state, best = run_training_epochs(
+        spec=spec,
+        state=state,
+        train_step=train_step,
+        eval_fns=eval_fns,
+        splits=splits,
+        config=config,
+        rng=rng,
+        eval_key=k_eval,
+        select_best=select_best,
+        on_epoch=on_epoch,
+        eval_train_stats=config.get("eval_train_stats", True),
+    )
+
+    key, k_test, k_samp = jax.random.split(key, 3)
+    test_post, test_prior = final_test_eval(
+        spec, best["params"], k_test, splits["val"], eval_fns, config.mini_batch_size
+    )
+    artifacts.dump_common(
+        out_dir,
+        test_post.observations,
+        times,
+        {
+            "treatments": np.concatenate(
+                [test_post.labels["C12"], test_post.labels["C6"]], axis=1
+            ),
+            "devices": np.concatenate(
+                [test_post.labels["aR"], test_post.labels["aS"]], axis=1
+            ),
+        },
+    )
+    artifacts.dump_recon(out_dir, "post", test_post.recon)
+    artifacts.dump_recon(out_dir, "prior", test_prior.recon)
+
+    fb = {k: jax.device_put(v) for k, v in full_batch(splits["val"]).items()}
+    _, _, reconstruct = eval_fns
+    for tag, is_post in (("post", True), ("prior", False)):
+        k_samp, sub = jax.random.split(k_samp)
+        bands = multiple_samples(
+            reconstruct, best["params"], sub, fb, config.num_samples, is_post
+        )
+        artifacts.dump_sample_bands(out_dir, tag, bands["mu_25"], bands["mu_50"], bands["mu_75"])
+
+    checkpoint.save(
+        os.path.join(out_dir, "best_model.npz"),
+        best["params"],
+        metadata={"epoch": int(best["epoch"]), "criterion": float(best["criterion"])},
+    )
+
+    final = (
+        "FINAL TEST: aR_acc=(%.4f,%.4f)  aS_acc=(%.4f,%.4f) C12_mse=(%.4f,%.4f) "
+        "C6_mse=(%.4f,%.4f) l1=(%.6f,%.6f)"
+        % (
+            test_post.label_metrics["aR"],
+            test_prior.label_metrics["aR"],
+            test_post.label_metrics["aS"],
+            test_prior.label_metrics["aS"],
+            test_post.label_metrics["C12"],
+            test_prior.label_metrics["C12"],
+            test_post.label_metrics["C6"],
+            test_prior.label_metrics["C6"],
+            test_post.l1,
+            test_prior.l1,
+        )
+    )
+    print(final)
+    log.debug(final)
+    return {"best": best, "test_post": test_post, "test_prior": test_prior}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", choices=["Mechanistic", "MechanisticGauss"], default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--split", type=int, default=None, help="fold 1..4")
+    p.add_argument("--heldout", default=None, help="device name for zero-shot split")
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--ode-backend", default=None)
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--results-root", default=".")
+    p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--no-eval-train", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = load_proc_config()
+    for k, v in vars(args).items():
+        k2 = k.replace("-", "_")
+        if v is not None and k2 in config:
+            config[k2] = v
+    if args.num_epochs is not None:
+        config.num_epochs = args.num_epochs
+    if args.heldout:
+        config.heldout = args.heldout
+    config.results_root = args.results_root
+    config.plot = not args.no_plot
+    config.eval_train_stats = not args.no_eval_train
+
+    out_dir = artifacts.results_dir(config.model, config.results_root)
+    from structured_latent_odes_tpu.training_cvs import setup_logging
+
+    setup_logging(out_dir)
+    return train(config)
+
+
+if __name__ == "__main__":
+    main()
