@@ -71,6 +71,34 @@ def iter_minibatches(
         yield batch
 
 
+def stacked_minibatches(
+    split: Split,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    rng: Optional[np.random.RandomState] = None,
+) -> Split:
+    """The whole epoch as ONE stacked array dict with leading
+    (n_batches, batch_size, ...) axes + per-sample mask — consumed by
+    ``train_epoch``'s on-device lax.scan (one host dispatch per epoch)."""
+    n = split["observations"].shape[0]
+    idx = np.arange(n)
+    if shuffle:
+        (rng or np.random).shuffle(idx)
+    n_batches = -(-n // batch_size)
+    padded = n_batches * batch_size
+    sel = np.concatenate([idx, np.zeros(padded - n, dtype=int)])
+    mask = np.zeros(padded, dtype=np.float32)
+    mask[:n] = 1.0
+    out = {
+        k: v[sel].reshape((n_batches, batch_size) + v.shape[1:])
+        for k, v in split.items()
+        if k != "mask"
+    }
+    out["mask"] = mask.reshape(n_batches, batch_size)
+    return out
+
+
 def full_batch(split: Split, pad_to_size: Optional[int] = None) -> Split:
     out = dict(split)
     n = out["observations"].shape[0]

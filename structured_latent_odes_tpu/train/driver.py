@@ -21,7 +21,11 @@ from typing import Callable, Dict, List, Optional
 import jax
 import numpy as np
 
-from structured_latent_odes_tpu.data.loader import full_batch, iter_minibatches
+from structured_latent_odes_tpu.data.loader import (
+    full_batch,
+    iter_minibatches,
+    stacked_minibatches,
+)
 from structured_latent_odes_tpu.models.spec import ModelSpec
 from structured_latent_odes_tpu.train import metrics as M
 
@@ -124,19 +128,33 @@ def run_training_epochs(
     select_best: Callable,  # (epoch, val_stats, train_stats, best) -> best'
     on_epoch: Optional[Callable] = None,
     eval_train_stats: bool = True,
+    train_epoch: Optional[Callable] = None,
 ):
     """The shared epoch loop. ``select_best`` implements each dataset's
     (different!) best-model policy; it receives and returns a dict with at
-    least {'params', 'epoch', 'criterion'}."""
+    least {'params', 'epoch', 'criterion'}.
+
+    When ``train_epoch`` is given, all of an epoch's minibatches are stacked
+    on host and scanned on device in ONE dispatch (the default drivers do
+    this); ``train_step`` remains the per-batch fallback."""
     best = {"params": state.params, "epoch": 0, "criterion": np.inf}
     batch_size = config.mini_batch_size
     t_start = time.time()
 
     for epoch in range(config.num_epochs + 1):
-        epoch_losses = []
-        for batch in iter_minibatches(splits["train"], batch_size, shuffle=True, rng=rng):
-            state, mets = train_step(state, _device_batch(batch))
-            epoch_losses.append([float(mets["loss_main"]), float(mets["loss_aux"])])
+        if train_epoch is not None:
+            batches = stacked_minibatches(
+                splits["train"], batch_size, shuffle=True, rng=rng
+            )
+            state, mets = train_epoch(state, _device_batch(batches))
+            epoch_losses = np.stack(
+                [np.asarray(mets["loss_main"]), np.asarray(mets["loss_aux"])], axis=1
+            ).tolist()
+        else:
+            epoch_losses = []
+            for batch in iter_minibatches(splits["train"], batch_size, shuffle=True, rng=rng):
+                state, mets = train_step(state, _device_batch(batch))
+                epoch_losses.append([float(mets["loss_main"]), float(mets["loss_aux"])])
 
         eval_key, k1, k2, k3, k4 = jax.random.split(eval_key, 5)
         val_post = eval_split(

@@ -64,8 +64,7 @@ def make_train_step(spec: ModelSpec, ts, lr: float, params_example):
     def aux_loss(params, key, batch):
         return elbo_aux(spec, params, key, batch)
 
-    @jax.jit
-    def train_step(state: SVIState, batch) -> Tuple[SVIState, Dict[str, Array]]:
+    def _step(state: SVIState, batch) -> Tuple[SVIState, Dict[str, Array]]:
         key, k1, k2 = jax.random.split(state.key, 3)
         (loss_m, mets), grads = jax.value_and_grad(main_loss, has_aux=True)(
             state.params, k1, batch
@@ -81,7 +80,21 @@ def make_train_step(spec: ModelSpec, ts, lr: float, params_example):
         metrics = {"loss_main": loss_m / n, "loss_aux": loss_a / n, "l1": mets["l1"]}
         return SVIState(params, opt_main_state, opt_aux_state, key), metrics
 
-    return init_state, train_step
+    train_step = jax.jit(_step, donate_argnums=0)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_epoch(state: SVIState, batches) -> Tuple[SVIState, Dict[str, Array]]:
+        """Run a whole epoch of stacked minibatches in ONE dispatch.
+
+        ``batches``: dict of arrays with leading (n_batches, B, ...) axes.
+        TPU-idiomatic: these datasets are tiny, so an entire epoch scans on
+        device — per-step host dispatch (the dominant cost at this model
+        size, especially over a remote-tunnel TPU) is paid once per epoch.
+        Returns per-step metrics stacked along the leading axis.
+        """
+        return jax.lax.scan(_step, state, batches)
+
+    return init_state, train_step, train_epoch
 
 
 def make_eval_fns(spec: ModelSpec, ts):

@@ -64,7 +64,7 @@ def train(config):
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     print(f"Model: {config.model} - with {n_params} parameters.")
 
-    init_state, train_step = make_train_step(spec, times, config.learning_rate, params)
+    init_state, train_step, train_epoch = make_train_step(spec, times, config.learning_rate, params)
     eval_fns = make_eval_fns(spec, times)
     state = init_state(params, k_train)
 
@@ -103,6 +103,7 @@ def train(config):
         select_best=select_best,
         on_epoch=on_epoch,
         eval_train_stats=config.get("eval_train_stats", True),
+        train_epoch=train_epoch,
     )
 
     # final test on best params (post + prior), with artifact dump

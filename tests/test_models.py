@@ -166,7 +166,7 @@ def test_train_step_reduces_loss():
     spec, config = _tiny_cvs_spec()
     params = init_params(jax.random.key(0), spec)
     ts = jnp.arange(20.0)
-    init_state, train_step = make_train_step(spec, ts, 1e-2, params)
+    init_state, train_step, _ = make_train_step(spec, ts, 1e-2, params)
     state = init_state(params, jax.random.key(5))
     batch = _cvs_batch(8)
     losses = []
