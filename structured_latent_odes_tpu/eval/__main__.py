@@ -1,0 +1,63 @@
+"""Aggregate-metric evaluation CLI (the reference notebooks' headline numbers).
+
+Usage:
+  python -m structured_latent_odes_tpu.eval cvs results_Mechanistic
+  python -m structured_latent_odes_tpu.eval challenge results_Mechanistic
+  python -m structured_latent_odes_tpu.eval proc results_Mechanistic
+  python -m structured_latent_odes_tpu.eval proc-heldout results_Mechanistic
+
+Consumes the ``.npy`` artifacts dumped at test time (train/artifacts.py) and
+prints the same quantities the reference's evaluation notebooks print
+(BASELINE.md table).
+"""
+
+import argparse
+import json
+
+from structured_latent_odes_tpu.eval.metrics import (
+    challenge_outcome_averaged_l1,
+    cvs_class_averaged_l1,
+    synbio_device_averaged_l1,
+    synbio_heldout_l1,
+)
+
+METRICS = {
+    "cvs": ("class-averaged L1", cvs_class_averaged_l1),
+    "challenge": ("outcome-averaged L1", challenge_outcome_averaged_l1),
+    "proc": ("device-averaged L1", synbio_device_averaged_l1),
+    "proc-heldout": ("heldout zero-shot L1 (200-sample)", synbio_heldout_l1),
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("dataset", choices=sorted(METRICS))
+    p.add_argument("results_dir")
+    p.add_argument("--json", action="store_true", help="print one JSON line")
+    args = p.parse_args(argv)
+
+    name, fn = METRICS[args.dataset]
+    out = {}
+    for tag in ("post", "prior"):
+        try:
+            out[tag] = fn(args.results_dir, tag)
+        except FileNotFoundError as e:
+            out[tag] = None
+            print(f"[skip {tag}] missing artifact: {e.filename}")
+        except KeyError as e:
+            out[tag] = None
+            print(
+                f"[skip {tag}] artifact {e} not in {args.results_dir} — was this "
+                f"directory produced by the {args.dataset} driver?"
+            )
+    if args.json:
+        print(json.dumps({"dataset": args.dataset, "metric": name, **out}))
+    else:
+        for tag, v in out.items():
+            if v is not None:
+                print(f"{args.results_dir} l1_error_av_{tag}: {v}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

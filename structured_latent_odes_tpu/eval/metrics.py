@@ -1,0 +1,117 @@
+"""Aggregate evaluation metrics — faithful implementations of the headline
+numbers computed by the reference's six evaluation notebooks (SURVEY.md §6 /
+BASELINE.md), consuming the ``.npy`` artifact contract:
+
+- CVS class-averaged L1            (cvs_eval_final.ipynb cells 6/7: 0.522/0.520)
+- challenge outcome-averaged L1    (challenge_eval_folds.ipynb cells 4/5:
+                                    post 38.620 / prior 38.969 on fold 5)
+- synbio device-averaged L1        (sbio_eval_folds_final.ipynb cells 5/6:
+                                    prior 16.524 / post 6.019 on split 1)
+- synbio heldout zero-shot L1      (sbio_eval_heldout_final.ipynb cell 7:
+                                    5.874 on device h22, 200-sample mean)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _load(results_dir: str, name: str) -> np.ndarray:
+    return np.load(os.path.join(results_dir, name + ".npy"))
+
+
+def load_artifacts(results_dir: str, tag: str) -> Dict[str, np.ndarray]:
+    out = {
+        "y": _load(results_dir, "observations"),
+        "times": _load(results_dir, "times"),
+        "mu_50": _load(results_dir, f"mu_50_{tag}"),
+        "mu_25": _load(results_dir, f"mu_25_{tag}"),
+        "mu_75": _load(results_dir, f"mu_75_{tag}"),
+    }
+    for opt in ("iext", "rtpr", "shedding", "symptoms", "treatments", "devices"):
+        path = os.path.join(results_dir, opt + ".npy")
+        if os.path.exists(path):
+            out[opt] = np.load(path)
+    return out
+
+
+def cvs_class_averaged_l1(results_dir: str, tag: str) -> float:
+    """Mean over (iext, rtpr) class combos x channels of the summed |avg
+    trajectory error| (cvs_eval_final.ipynb cells 6/7)."""
+    a = load_artifacts(results_dir, tag)
+    labels = np.stack([a["iext"].reshape(-1), a["rtpr"].reshape(-1)], axis=1)
+    combos = np.unique(labels, axis=0)
+    K = a["y"].shape[1]
+    l1 = 0.0
+    for combo in combos:
+        loc = np.all(labels == combo, axis=1)
+        for c in range(K):
+            av_mu = a["mu_50"][loc].mean(0)[c]
+            av_y = a["y"][loc].mean(0)[c]
+            l1 += np.abs(av_mu - av_y).sum()
+    return float(l1 / (K * len(combos)))
+
+
+def challenge_outcome_averaged_l1(results_dir: str, tag: str) -> float:
+    """Mean over outcome columns x outcome values of sum|avg(mu50)-avg(y)|
+    over all channels/timepoints (challenge_eval_folds.ipynb cells 4/5)."""
+    a = load_artifacts(results_dir, tag)
+    outcomes = np.stack([a["shedding"].reshape(-1), a["symptoms"].reshape(-1)], axis=1)
+    errs = []
+    for out_val in (0.0, 1.0):
+        for t in range(outcomes.shape[1]):
+            idx = outcomes[:, t] == out_val
+            if idx.sum() == 0:
+                continue
+            errs.append(np.abs(a["mu_50"][idx].mean(0) - a["y"][idx].mean(0)).sum())
+    return float(np.mean(errs))
+
+
+def synbio_device_averaged_l1(results_dir: str, tag: str) -> float:
+    """Per (device, treatment, condition) summed |avg error|, normalized by
+    (n_treatments * n_channels * cassette depth)
+    (sbio_eval_folds_final.ipynb cells 5/6)."""
+    a = load_artifacts(results_dir, tag)
+    treatment, devices = a["treatments"], a["devices"]
+    unique_treat = np.unique(treatment)
+    unique_devices = np.unique(devices, axis=0)
+    K = a["y"].shape[1]
+    l1 = 0.0
+    for device in unique_devices:
+        sel_device = np.all(devices == device, axis=1)
+        for treat in unique_treat:
+            for ci in range(treatment.shape[1]):
+                idx = (treatment[:, ci] == treat) & sel_device
+                if idx.sum() == 0:
+                    continue
+                err = np.abs(a["y"][idx].mean(0) - a["mu_50"][idx].mean(0)).sum()
+                l1 += K * err  # notebook accumulates once per channel loop
+    return float(l1 / (len(unique_treat) * K * devices.shape[1]))
+
+
+def synbio_heldout_l1(results_dir: str, tag: str) -> float:
+    """Zero-shot heldout-device L1 from the 200-draw sample dump: negative
+    predictions clipped to 0, mean over draws, per-(treatment, condition)
+    summed |avg error| with the folds normalization
+    (sbio_eval_heldout_final.ipynb cell 7)."""
+    a = load_artifacts(results_dir, tag)
+    mu_50 = np.load(os.path.join(results_dir, f"mu_50_{tag}_sample.npy"))
+    mu_50 = np.clip(mu_50, 0.0, None)
+    treatment, devices = a["treatments"], a["devices"]
+    device_id = devices[0]
+    sel_device = np.all(devices == device_id, axis=1)
+    unique_treat = np.unique(treatment)
+    K = a["y"].shape[1]
+    l1 = 0.0
+    for treat in unique_treat:
+        for ci in range(treatment.shape[1]):
+            idx = (treatment[:, ci] == treat) & sel_device & (treatment[:, ci] > 0)
+            if idx.sum() == 0:
+                continue
+            mu_av = mu_50[idx].mean(0).mean(2)  # (K, T): mean over samples+draws
+            y_av = a["y"][idx].mean(0)
+            l1 += K * np.abs(y_av - mu_av).sum()
+    return float(l1 / (len(unique_treat) * K * devices.shape[1]))
