@@ -90,11 +90,19 @@ def stacked_minibatches(
     sel = np.concatenate([idx, np.zeros(padded - n, dtype=int)])
     mask = np.zeros(padded, dtype=np.float32)
     mask[:n] = 1.0
-    out = {
-        k: v[sel].reshape((n_batches, batch_size) + v.shape[1:])
-        for k, v in split.items()
-        if k != "mask"
-    }
+
+    from structured_latent_odes_tpu import native
+
+    out = {}
+    for k, v in split.items():
+        if k == "mask":
+            continue
+        packed = None
+        if v.dtype == np.float32:
+            packed = native.pack_epoch_native(v, sel, padded)
+        if packed is None:
+            packed = v[sel]
+        out[k] = packed.reshape((n_batches, batch_size) + v.shape[1:])
     out["mask"] = mask.reshape(n_batches, batch_size)
     return out
 
