@@ -1,0 +1,127 @@
+"""Data-layer golden tests (SURVEY.md §4: golden-value tests of the pipelines
++ scipy oracle for the CVS generator)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import integrate as scipy_integrate
+
+from structured_latent_odes_tpu.data import challenge, cvs, proc
+from structured_latent_odes_tpu.data.configs import (
+    load_challenge_config,
+    load_cvs_config,
+    load_proc_config,
+)
+from structured_latent_odes_tpu.data.loader import (
+    full_batch,
+    iter_minibatches,
+    stacked_minibatches,
+    to_model_layout,
+)
+from structured_latent_odes_tpu.data.transforms import (
+    NormalizeToUnitSegment,
+    NormalizeZScore,
+    create_transforms,
+    find_norm_params,
+)
+
+
+def test_cvs_rhs_matches_scipy_oracle():
+    """Our on-device generator must match scipy LSODA on the mechanistic RHS."""
+    for i_ext, r_tpr_mod in [(0.0, 0.0), (-2.0, 0.5), (0.0, 0.5), (-2.0, 0.0)]:
+        ref = scipy_integrate.odeint(
+            lambda y, t: cvs.cvs_rhs(t, y, i_ext, r_tpr_mod, np_mod=np),
+            np.ones(4),
+            np.arange(86.0),
+        )
+        ours = np.asarray(
+            cvs.simulate_batch(
+                jnp.asarray([i_ext], dtype=jnp.float32),
+                jnp.asarray([r_tpr_mod], dtype=jnp.float32),
+            )
+        )[0]
+        assert np.allclose(ours, ref, atol=2e-4), (i_ext, r_tpr_mod)
+
+
+def test_cvs_splits_shapes_and_labels(tmp_path):
+    config = load_cvs_config()
+    config.data_path = str(tmp_path) + "/"
+    config.data_size = 40
+    splits, norm_params = cvs.load_splits(config)
+    # double 90/10: generator splits 40 -> 36 train pickle, loader 36 -> 32/4
+    assert splits["train"]["observations"].shape == (32, 86, 3)
+    assert splits["val"]["observations"].shape == (4, 86, 3)
+    assert splits["test"]["observations"].shape == (4, 86, 3)
+    for s in splits.values():
+        assert set(np.unique(s["iext"])) <= {0.0, 1.0}
+        assert set(np.unique(s["rtpr"])) <= {0.0, 1.0}
+    assert norm_params["min"].shape == (3,)
+
+
+def test_challenge_golden_shapes_and_determinism():
+    config = load_challenge_config()
+    splits, norm_params, times = challenge.build_datasets(config)
+    assert splits["train"]["observations"].shape == (28, 142, 4)
+    assert splits["val"]["observations"].shape == (7, 142, 4)
+    assert len(times) == 142
+    # seeded split is deterministic
+    s2, _, _ = challenge.build_datasets(config)
+    assert np.array_equal(splits["val"]["shedding"], s2["val"]["shedding"])
+    # all folds partition the subjects
+    all_val = []
+    for split in range(1, 6):
+        c = load_challenge_config()
+        c.split = split
+        tr, va = challenge.fold_indices(35, c.folds, c.split, c.seed)
+        all_val.append(va)
+    assert len(np.unique(np.concatenate(all_val))) == 35
+
+
+def test_proc_golden_shapes():
+    config = load_proc_config()
+    dataset = proc.build_dataset(config)
+    assert dataset["observations"].shape == (312, 4, 100)
+    assert dataset["dev_1hot"].shape == (312, 7)  # aR depth 3 + aS depth 4
+    assert dataset["inputs"].shape == (312, 2)
+    assert len(np.unique(dataset["devices"])) == 6
+    assert np.all(dataset["inputs"] >= 0)  # log1p of nonnegative doses
+    # observations scaled to <= 1 per signal before background subtraction
+    assert dataset["observations"].max() <= 1.0 + 1e-6
+    assert dataset["scales"].shape == (4,)
+
+
+def test_proc_cassettes_encoding():
+    config = load_proc_config()
+    rows = proc.get_cassettes(np.array([0, 3]), config.data)
+    # device 0 (Pcat) -> aR group 0, aS group 0; device 3 (R33S32) -> aR 2, aS 1
+    assert np.array_equal(rows[0], [1, 0, 0, 1, 0, 0, 0])
+    assert np.array_equal(rows[1], [0, 0, 1, 0, 1, 0, 0])
+
+
+def test_transforms_roundtrip():
+    data = np.random.RandomState(0).rand(10, 5, 3).astype(np.float32) * 4 - 1
+    params = find_norm_params(data)
+    for t in (NormalizeZScore(params), NormalizeToUnitSegment(params)):
+        normed = t(data)
+        back = t.denormalize(normed)
+        assert np.allclose(back, data, atol=1e-5)
+    assert create_transforms("zero_to_one", params)
+    with pytest.raises(ValueError):
+        create_transforms("bogus", params)
+
+
+def test_loader_static_shapes():
+    split = {
+        "observations": np.random.rand(13, 3, 8).astype(np.float32),
+        "iext": np.ones((13, 1), np.float32),
+    }
+    batches = list(iter_minibatches(split, 5, shuffle=False))
+    assert [b["observations"].shape[0] for b in batches] == [5, 5, 5]
+    assert batches[-1]["mask"].sum() == 3
+    stacked = stacked_minibatches(split, 5, shuffle=True, rng=np.random.RandomState(0))
+    assert stacked["observations"].shape == (3, 5, 3, 8)
+    assert stacked["mask"].sum() == 13
+    fb = full_batch(split)
+    assert fb["mask"].shape == (13,)
+    ml = to_model_layout(split)
+    assert ml["observations"].shape == (13, 8, 3)
