@@ -1,0 +1,95 @@
+"""Training-infrastructure tests: checkpointing, artifacts, eval metrics,
+profiling, variance-gaussian decoder."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structured_latent_odes_tpu.nn.decoders import DecoderSpec, decoder_apply, decoder_init
+from structured_latent_odes_tpu.nn.ode_model import OdeModelSpec
+from structured_latent_odes_tpu.train import artifacts, checkpoint
+from structured_latent_odes_tpu.utils.profiling import StepTimer
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "a": {"W": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "c": [jnp.ones((4,)), jnp.full((2, 2), 7.0)],
+    }
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, tree, metadata={"epoch": 5})
+    restored = checkpoint.restore(path, tree)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        assert np.array_equal(a, b)
+    assert checkpoint.load_metadata(path)["epoch"] == 5
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    tree = {"W": jnp.zeros((2, 3))}
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, tree)
+    with pytest.raises(ValueError):
+        checkpoint.restore(path, {"W": jnp.zeros((3, 3))})
+
+
+def test_artifact_contract_filenames(tmp_path):
+    out = str(tmp_path)
+    rng = np.random.RandomState(0)
+    artifacts.dump_common(out, rng.rand(5, 3, 7), np.arange(7.0), {"iext": np.ones(5)})
+    recon = {
+        "mu_50": rng.rand(5, 3, 7),
+        "mu_75": rng.rand(5, 3, 7),
+        "mu_25": rng.rand(5, 3, 7),
+        "solution_xt": rng.rand(5, 7, 4),
+        "z": rng.rand(5, 15),
+    }
+    artifacts.dump_recon(out, "post", recon)
+    artifacts.dump_sample_bands(out, "post", rng.rand(5, 3, 7, 2), rng.rand(5, 3, 7, 2), rng.rand(5, 3, 7, 2))
+    expected = {
+        "observations.npy", "times.npy", "iext.npy",
+        "mu_50_post.npy", "mu_75_post.npy", "mu_25_post.npy",
+        "solution_xt_post.npy", "z_post.npy",
+        "mu_25_post_sample.npy", "mu_50_post_sample.npy", "mu_75_post_sample.npy",
+    }
+    assert expected <= set(os.listdir(out))
+
+
+def test_eval_metrics_on_synthetic_artifacts(tmp_path):
+    """A perfect prediction must give exactly zero aggregate L1."""
+    out = str(tmp_path)
+    rng = np.random.RandomState(1)
+    y = rng.rand(8, 4, 10).astype(np.float32)
+    shedding = (rng.rand(8) > 0.5).astype(np.float32)
+    symptoms = (rng.rand(8) > 0.5).astype(np.float32)
+    artifacts.dump_common(out, y, np.arange(10.0), {"shedding": shedding, "symptoms": symptoms})
+    recon = {"mu_50": y, "mu_75": y, "mu_25": y, "solution_xt": y, "z": y[:, 0]}
+    artifacts.dump_recon(out, "post", recon)
+
+    from structured_latent_odes_tpu.eval import challenge_outcome_averaged_l1
+
+    assert challenge_outcome_averaged_l1(out, "post") == 0.0
+
+
+def test_variance_gaussian_decoder_runs():
+    """The reference's dead-code decoder variant works here (C2 parity)."""
+    ode = OdeModelSpec(latent_dim=6, ode_state_dim=4, ode_hidden_dim=8)
+    spec = DecoderSpec(kind="variance_gaussian", ode=ode, obs_dim=3, n_time=12)
+    params = decoder_init(jax.random.key(0), spec)
+    z = jax.random.normal(jax.random.key(1), (5, 6))
+    sol, mean, std = decoder_apply(spec, params, z, jnp.arange(12.0))
+    assert sol.shape == (5, 12, 4) and mean.shape == (5, 3, 12) and std.shape == (5, 3, 12)
+
+
+def test_step_timer():
+    timer = StepTimer(warmup=1)
+    x = jnp.ones(4)
+    f = jax.jit(lambda x: x * 2)
+    for _ in range(4):
+        with timer:
+            out = f(x)
+        timer.sync(out)
+    s = timer.summary()
+    assert s["steps"] == 3 and s["steps_per_sec"] > 0
