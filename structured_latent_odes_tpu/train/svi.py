@@ -45,12 +45,14 @@ def make_optimizers(spec: ModelSpec, params, lr: float):
     return opt_main, opt_aux
 
 
-def make_train_step(spec: ModelSpec, ts, lr: float, params_example):
-    """Returns (init_state_fn, jitted train_step).
+def make_train_step(spec: ModelSpec, ts, lr: float, params_example, num_particles: int = 1):
+    """Returns (init_state_fn, jitted train_step, jitted train_epoch).
 
     train_step(state, batch) -> (state, metrics) where metrics carries both
     per-loss totals (the reference logs loss/batch_size per loss,
-    training_cvs.py:147-157) and the in-model L1.
+    training_cvs.py:147-157) and the in-model L1. ``num_particles`` averages
+    that many reparameterized ELBO particles (Trace_ELBO(num_particles)
+    semantics; the reference runs 1, config_cvs.py:47).
     """
     ts = jnp.asarray(ts)
     opt_main, opt_aux = make_optimizers(spec, params_example, lr)
@@ -59,10 +61,17 @@ def make_train_step(spec: ModelSpec, ts, lr: float, params_example):
         return SVIState(params, opt_main.init(params), opt_aux.init(params), key)
 
     def main_loss(params, key, batch):
-        return elbo_main(spec, params, key, batch, ts)
+        if num_particles == 1:
+            return elbo_main(spec, params, key, batch, ts)
+        keys = jax.random.split(key, num_particles)
+        losses, mets = jax.vmap(lambda k: elbo_main(spec, params, k, batch, ts))(keys)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, mets)
 
     def aux_loss(params, key, batch):
-        return elbo_aux(spec, params, key, batch)
+        if num_particles == 1:
+            return elbo_aux(spec, params, key, batch)
+        keys = jax.random.split(key, num_particles)
+        return jnp.mean(jax.vmap(lambda k: elbo_aux(spec, params, k, batch))(keys))
 
     def _step(state: SVIState, batch) -> Tuple[SVIState, Dict[str, Array]]:
         key, k1, k2 = jax.random.split(state.key, 3)

@@ -48,7 +48,9 @@ def train(config):
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     print(f"Model: {config.model} - with {n_params} parameters.")
 
-    init_state, train_step, train_epoch = make_train_step(spec, times, config.learning_rate, params)
+    init_state, train_step, train_epoch = make_train_step(
+        spec, times, config.learning_rate, params, num_particles=config.get("num_particles", 1)
+    )
     eval_fns = make_eval_fns(spec, times)
     state = init_state(params, k_train)
     out_dir = artifacts.results_dir(config.model, config.get("results_root", "."))
