@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from structured_latent_odes_tpu.data.loader import (
@@ -185,6 +186,10 @@ def run_training_epochs(
             epoch_losses,
         )
         improved = "*" if best is not prev_best else ""
+        if best is not prev_best:
+            # deep-copy: the live state buffers are DONATED to the next
+            # train_epoch dispatch; a stored alias would be invalidated
+            best = dict(best, params=jax.tree.map(jnp.copy, best["params"]))
 
         epoch_mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         metric_str = " ".join(
