@@ -1,0 +1,60 @@
+"""End-to-end driver test: tiny CVS training through the real CLI main()."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_cvs_driver_end_to_end(tmp_path):
+    from structured_latent_odes_tpu.training_cvs import main
+
+    data_dir = str(tmp_path / "data") + os.sep
+    results_root = str(tmp_path / "results")
+    os.makedirs(results_root, exist_ok=True)
+
+    # tiny dataset: generate 30 trajectories on the fly
+    from structured_latent_odes_tpu.data import cvs
+
+    cvs.make_dataset(data_dir, data_size=30, seq_len=86, seed=0)
+
+    out = main(
+        [
+            "--num-epochs", "1",
+            "--data-path", data_dir,
+            "--results-root", results_root,
+            "--mini-batch-size", "16",
+            "--no-plot",
+            "--no-eval-train",
+        ]
+    )
+    rd = os.path.join(results_root, "results_Mechanistic")
+    for f in (
+        "observations.npy", "iext.npy", "rtpr.npy", "times.npy",
+        "mu_50_post.npy", "mu_50_prior.npy", "solution_xt_post.npy",
+        "z_post.npy", "best_model.npz", "model.log",
+    ):
+        assert os.path.exists(os.path.join(rd, f)), f
+
+    assert np.isfinite(out["test_post"].l1)
+
+    # the artifacts evaluate through the notebook-metric CLI
+    from structured_latent_odes_tpu.eval import cvs_class_averaged_l1
+
+    l1 = cvs_class_averaged_l1(rd, "post")
+    assert np.isfinite(l1) and l1 > 0
+
+    # the checkpoint round-trips through the serving path
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.serve import load_model, make_predict_fns
+    import jax
+
+    config = load_cvs_config()
+    config.data_path = data_dir
+    spec, params, times, splits = load_model(
+        "cvs", os.path.join(rd, "best_model.npz"), config
+    )
+    recon_fn, classify_fn = make_predict_fns(spec, times)
+    batch = {k: np.asarray(v) for k, v in splits["test"].items()}
+    r = recon_fn(params, jax.random.key(0), batch, True)
+    assert r["mu_50"].shape == batch["observations"].shape
