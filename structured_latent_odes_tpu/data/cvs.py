@@ -15,7 +15,7 @@ Interventions: i_ext ∈ {0, -2}, r_tpr_mod ∈ {0, 0.5} drawn per trajectory
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from typing import Optional, Tuple
 
 from structured_latent_odes_tpu.nn.decoders import DecoderSpec
 from structured_latent_odes_tpu.nn.layers import ConvEncoderSpec, MLPSpec
-from structured_latent_odes_tpu.nn.ode_model import OdeModelSpec
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,7 +11,7 @@ Outputs use the reference layout ``(B, K, T)`` (channels before time).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

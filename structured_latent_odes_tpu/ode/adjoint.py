@@ -14,7 +14,6 @@ long horizons where even checkpointed activations do not fit.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

@@ -22,8 +22,7 @@ torchdiffeq default grid for fixed solvers), so non-uniform observation grids
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -199,6 +198,80 @@ def odeint_adaptive(
             y,
             _interp_eval(coeffs, t_prev, t_next, target_t),
         )
+        return (t_prev, y, t_next, h, coeffs), y_target
+
+    _, ys = lax.scan(advance_while, init, ts[1:])
+    return jnp.concatenate([y0[None], ys], axis=0)
+
+
+def odeint_adaptive_per_sample(
+    f: ODEFunc,
+    y0: Array,
+    ts: Array,
+    *,
+    rtol: float = 1e-6,
+    atol: float = 1e-8,
+    max_steps: int = 4096,
+    safety: float = 0.9,
+    ifactor: float = 10.0,
+    dfactor: float = 0.2,
+) -> Array:
+    """Adaptive dopri5 with PER-SAMPLE step-size control (torchode-style,
+    cf. PAPERS.md): each row of the batch follows its own step schedule in
+    lockstep SIMD — finished/slow samples are masked, not synchronized.
+
+    ``y0``: (B, D); ``f(t, y)`` must broadcast a per-sample time column
+    ``t: (B, 1)`` against ``y: (B, D)``. Use this when trajectories have very
+    different stiffness (a shared batchwide step would grind everyone at the
+    stiffest sample's pace); for homogeneous batches prefer
+    :func:`odeint_adaptive` (fewer flops per step).
+    """
+    tableau = get_tableau("dopri5")
+    ts = jnp.asarray(ts, dtype=y0.dtype)
+    B = y0.shape[0]
+    t0 = jnp.full((B, 1), ts[0], dtype=y0.dtype)
+    # per-sample initial step from the scalar heuristic on each row
+    f0 = f(t0, y0)
+    scale = atol + jnp.abs(y0) * rtol
+    d0 = jnp.sqrt(jnp.mean((y0 / scale) ** 2, axis=1, keepdims=True))
+    d1 = jnp.sqrt(jnp.mean((f0 / scale) ** 2, axis=1, keepdims=True))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    init_coeffs = jnp.stack([jnp.zeros_like(y0)] * 4 + [y0])  # (5, B, D)
+    init = (t0, y0, t0, h0, init_coeffs)
+    order_exp = -1.0 / tableau.order
+
+    def advance_while(carry, target_t):
+        def cond(state):
+            _, _, t_next, h, _, n = state
+            return jnp.any(t_next[:, 0] < target_t) & (n < max_steps)
+
+        def body(state):
+            t_prev, y, t_next, h, coeffs, n = state
+            alive = t_next < target_t  # (B, 1)
+            y1, ks, y_err = rk_step(f, tableau, t_next, y, h)
+            tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            ratio = jnp.sqrt(jnp.mean((y_err / tol) ** 2, axis=1, keepdims=True))
+            accept = (ratio <= 1.0) & alive
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(ratio, 1e-10), order_exp), dfactor, ifactor
+            )
+            h_new = jnp.where(alive, h * factor, h)
+            new_coeffs = _interp_fit_dopri(y, y1, ks, tableau.c_mid, h)
+            t_prev_n = jnp.where(accept, t_next, t_prev)
+            y_n = jnp.where(accept, y1, y)
+            t_next_n = jnp.where(accept, t_next + h, t_next)
+            coeffs_n = jnp.where(accept[None], new_coeffs, coeffs)
+            return (t_prev_n, y_n, t_next_n, h_new, coeffs_n, n + 1)
+
+        t_prev, y, t_next, h, coeffs = carry
+        t_prev, y, t_next, h, coeffs, _ = lax.while_loop(
+            cond, body, (t_prev, y, t_next, h, coeffs, 0)
+        )
+        theta_den = jnp.where(t_next == t_prev, 1.0, t_next - t_prev)
+        theta = jnp.clip((target_t - t_prev) / theta_den, 0.0, 1.0)
+        a, b, c, d, e = coeffs
+        y_interp = e + theta * (d + theta * (c + theta * (b + theta * a)))
+        y_target = jnp.where(t_next == t_prev, y, y_interp)
         return (t_prev, y, t_next, h, coeffs), y_target
 
     _, ys = lax.scan(advance_while, init, ts[1:])

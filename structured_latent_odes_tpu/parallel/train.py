@@ -15,7 +15,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from structured_latent_odes_tpu.models import elbo_aux, elbo_main
 from structured_latent_odes_tpu.models.spec import ModelSpec

@@ -11,7 +11,7 @@ layouts) so the reference's evaluation workflows run unchanged.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable
+from typing import Dict
 
 import numpy as np
 

@@ -15,18 +15,14 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from structured_latent_odes_tpu.data.loader import (
-    full_batch,
-    iter_minibatches,
-    stacked_minibatches,
-)
+from structured_latent_odes_tpu.data.loader import iter_minibatches, stacked_minibatches
 from structured_latent_odes_tpu.models.spec import ModelSpec
 from structured_latent_odes_tpu.train import metrics as M
 

@@ -23,11 +23,7 @@ from structured_latent_odes_tpu.data.loader import normalize_split, to_model_lay
 from structured_latent_odes_tpu.data.transforms import create_transforms
 from structured_latent_odes_tpu.models import cvs_spec, init_params
 from structured_latent_odes_tpu.train import artifacts, checkpoint
-from structured_latent_odes_tpu.train.driver import (
-    eval_split,
-    final_test_eval,
-    run_training_epochs,
-)
+from structured_latent_odes_tpu.train.driver import final_test_eval, run_training_epochs
 from structured_latent_odes_tpu.train.svi import make_eval_fns, make_train_step
 from structured_latent_odes_tpu.utils import plotting, set_seed
 

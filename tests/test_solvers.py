@@ -128,3 +128,17 @@ def test_decreasing_time_grid():
     f = lambda t, y: -y
     ys = odeint(f, y0, ts, method="rk4")
     assert np.allclose(ys[-1], 1.0, atol=1e-5)
+
+
+def test_per_sample_adaptive_matches_per_sample_solves():
+    """Per-sample step control: heterogeneous decay rates, each row must
+    match its own independent adaptive solve."""
+    from structured_latent_odes_tpu.ode.solvers import odeint_adaptive_per_sample
+
+    rates = jnp.asarray([0.1, 1.0, 25.0])[:, None]  # very different stiffness
+    y0 = jnp.ones((3, 2))
+    ts = jnp.linspace(0.0, 1.0, 11)
+    f = lambda t, y: -rates * y
+    ys = odeint_adaptive_per_sample(f, y0, ts, rtol=1e-6, atol=1e-9)
+    exact = jnp.exp(-rates[None] * ts[:, None, None]) * y0[None]
+    assert np.allclose(ys, exact, atol=5e-5), np.abs(ys - exact).max()
