@@ -63,16 +63,21 @@ def odeint(
     ts: Array,
     method: str = "midpoint",
     *,
-    remat: bool = False,
-    rtol: float = 1.4e-8,
-    atol: float = 1.4e-8,
-    max_steps: int = 4096,
+    remat: "bool | str" = False,
+    chunk_size: int = 0,
 ) -> Array:
     """Integrate ``dy/dt = f(t, y)`` and return ``y`` at all times in ``ts``.
 
     Returns an array of shape ``(len(ts), *y0.shape)`` (time-major, matching
-    torchdiffeq). Fixed-step methods ignore ``rtol/atol``; ``method='dopri5'``
-    with ``adaptive=True`` via :func:`odeint_adaptive` controls error.
+    torchdiffeq).
+
+    Long-horizon memory ("sequence-length scaling", SURVEY.md §5): backprop
+    through the scan stores one set of stage activations per step.
+    ``remat=True`` checkpoints each step (recompute stages, keep states);
+    ``remat='chunked'`` checkpoints sqrt(T)-sized chunks of a nested scan —
+    O(sqrt(T)) live activation memory, the discretize-then-optimize
+    counterpart of the reference's O(1)-memory continuous adjoint
+    (blackbox_ode.py:41-42; exact adjoint lives in ode/adjoint.py).
     """
     tableau = get_tableau(method)
     ts = jnp.asarray(ts, dtype=y0.dtype)
@@ -81,6 +86,27 @@ def odeint(
         t0, t1 = t_pair
         y1, _, _ = rk_step(f, tableau, t0, y, t1 - t0)
         return y1, y1
+
+    n_steps = ts.shape[0] - 1
+    if remat == "chunked":
+        import math
+
+        chunk = chunk_size or max(1, int(math.isqrt(n_steps)))
+        n_chunks = -(-n_steps // chunk)
+        padded = n_chunks * chunk
+        # pad with zero-length steps (t_end -> t_end): identity updates
+        t0s = jnp.concatenate([ts[:-1], jnp.full((padded - n_steps,), ts[-1], ts.dtype)])
+        t1s = jnp.concatenate([ts[1:], jnp.full((padded - n_steps,), ts[-1], ts.dtype)])
+        t_pairs = (t0s.reshape(n_chunks, chunk), t1s.reshape(n_chunks, chunk))
+
+        @jax.checkpoint
+        def chunk_scan(y, chunk_pairs):
+            y1, ys = lax.scan(step, y, chunk_pairs)
+            return y1, ys
+
+        _, ys = lax.scan(chunk_scan, y0, t_pairs)
+        ys = ys.reshape((padded,) + y0.shape)[:n_steps]
+        return jnp.concatenate([y0[None], ys], axis=0)
 
     if remat:
         step = jax.checkpoint(step)

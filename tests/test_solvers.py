@@ -142,3 +142,18 @@ def test_per_sample_adaptive_matches_per_sample_solves():
     ys = odeint_adaptive_per_sample(f, y0, ts, rtol=1e-6, atol=1e-9)
     exact = jnp.exp(-rates[None] * ts[:, None, None]) * y0[None]
     assert np.allclose(ys, exact, atol=5e-5), np.abs(ys - exact).max()
+
+
+def test_chunked_remat_matches_plain():
+    """O(sqrt T) chunked rematerialization: same values and gradients."""
+    y0 = jnp.ones((3, 2)) * 0.4
+    f = lambda t, y: jnp.cos(y) - 0.3 * y
+    ts = jnp.linspace(0.0, 2.0, 24)  # 23 steps, not a perfect square
+
+    ys_plain = odeint(f, y0, ts)
+    ys_chunk = odeint(f, y0, ts, remat="chunked")
+    assert np.allclose(ys_plain, ys_chunk, atol=1e-6)
+
+    g_plain = jax.grad(lambda y: jnp.sum(odeint(f, y, ts) ** 2))(y0)
+    g_chunk = jax.grad(lambda y: jnp.sum(odeint(f, y, ts, remat="chunked") ** 2))(y0)
+    assert np.allclose(g_plain, g_chunk, atol=1e-5)
