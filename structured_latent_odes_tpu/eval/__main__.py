@@ -34,6 +34,7 @@ def main(argv=None):
     p.add_argument("dataset", choices=sorted(METRICS))
     p.add_argument("results_dir")
     p.add_argument("--json", action="store_true", help="print one JSON line")
+    p.add_argument("--figures", action="store_true", help="render aggregate figures")
     args = p.parse_args(argv)
 
     name, fn = METRICS[args.dataset]
@@ -50,6 +51,28 @@ def main(argv=None):
                 f"[skip {tag}] artifact {e} not in {args.results_dir} — was this "
                 f"directory produced by the {args.dataset} driver?"
             )
+    if args.figures:
+        from structured_latent_odes_tpu.eval import figures
+
+        for tag in ("post", "prior"):
+            try:
+                if args.dataset == "cvs":
+                    figures.class_averaged_bands(
+                        args.results_dir, tag, ("iext", "rtpr"), ("Pa", "Pv", "fHR"),
+                        f"agg_bands_{tag}.png",
+                    )
+                elif args.dataset == "challenge":
+                    figures.class_averaged_bands(
+                        args.results_dir, tag, ("shedding", "symptoms"),
+                        ("HR", "TEMP", "EDA", "ACC"), f"agg_bands_{tag}.png",
+                    )
+                else:
+                    figures.synbio_dose_response(
+                        args.results_dir, tag, ("OD", "mRFP1", "EYFP", "ECFP"),
+                        f"dose_response_{tag}.png",
+                    )
+            except (FileNotFoundError, KeyError) as e:
+                print(f"[skip figures {tag}] {e}")
     if args.json:
         print(json.dumps({"dataset": args.dataset, "metric": name, **out}))
     else:
