@@ -172,7 +172,7 @@ def _aux_obs_terms(spec: ModelSpec, params, tr: Trace, z: Array, batch: Batch) -
             tr.obs(onehot_categorical_logpmf(target, alpha), scale=mult)
         else:  # continuous
             loc, _ = _aux_head(spec, params, label, z_block)
-            std = jax.nn.softplus(params["aux_std"][label.name])
+            std = jax.nn.softplus(params["aux_std"][label.name]) + 1e-6
             tr.obs(laplace_logpdf(target, loc, std), scale=mult)
 
 
@@ -285,7 +285,7 @@ def elbo_aux(spec: ModelSpec, params, key: Array, batch: Batch) -> Array:
             )
         else:
             loc_u, _ = _aux_head(spec, params, label, z_block)
-            std = jax.nn.softplus(params["aux_std"][label.name])
+            std = jax.nn.softplus(params["aux_std"][label.name]) + 1e-6
             tr.obs(laplace_logpdf(target, loc_u, std), scale=mult)
     return tr.loss(mask)
 

@@ -77,11 +77,11 @@ def decoder_apply(spec: DecoderSpec, params, z: Array, ts: Array):
         mu_50 = _head(sol, params["q50"])
         mu_75 = _head(sol, params["q75"])
         mu_25 = _head(sol, params["q25"])
-        std = jnp.broadcast_to(jax.nn.softplus(params["constant_std"]), mu_50.shape)
+        std = jnp.broadcast_to(jax.nn.softplus(params["constant_std"]) + 1e-6, mu_50.shape)
         return sol, mu_75, mu_50, mu_25, std
     if spec.kind == "gaussian":
         mean = _head(sol, params["mean"])
-        std = jnp.broadcast_to(jax.nn.softplus(params["constant_std"]), mean.shape)
+        std = jnp.broadcast_to(jax.nn.softplus(params["constant_std"]) + 1e-6, mean.shape)
         return sol, mean, std
     # variance_gaussian: second ODE's trajectory maps to the (raw) std, as in
     # the reference's (never-instantiated) VarianceGaussianDecoder.

@@ -38,7 +38,9 @@ _ACTIVATIONS = {
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
     "softplus": jax.nn.softplus,
-    "exp": jnp.exp,
+    # clipped exp for scale heads: exp overflow at unlucky seeds NaNs the
+    # whole run (observed); e^15 ~ 3e6 is far beyond any useful scale
+    "exp": lambda x: jnp.exp(jnp.clip(x, -30.0, 15.0)),
     "softmax": lambda x: jax.nn.softmax(x, axis=-1),
 }
 
@@ -210,5 +212,5 @@ def conv_encoder_apply(spec: ConvEncoderSpec, params, x: Array) -> Tuple[Array, 
     y = y.reshape(y.shape[0], -1)  # (B, F * n_pool), filter-major like torch .view
     h = jnp.tanh(linear_apply(params["lin"], y))
     z_loc = linear_apply(params["z_loc"], h)
-    z_scale = jnp.exp(linear_apply(params["z_scale"], h))
+    z_scale = jnp.exp(jnp.clip(linear_apply(params["z_scale"], h), -30.0, 15.0))
     return z_loc, z_scale

@@ -182,6 +182,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", choices=["Mechanistic", "MechanisticGauss"], default=None)
     p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--aux-loss-multiplier", type=float, default=None,
+                   help="aux classifier site scale (reference: 46; 460 "
+                        "reliably disentangles subtle inputs, see PARITY.md)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--split", type=int, default=None, help="fold 1..5")
     p.add_argument("--num-samples", type=int, default=None)
