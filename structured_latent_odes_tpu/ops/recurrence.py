@@ -4,19 +4,19 @@ Solves ``x_t = A_t * x_{t-1} + B_t`` (elementwise) for the whole trajectory in
 ONE kernel. This is the inner loop of the semilinear ODE fast path
 (structured_latent_odes_tpu.ode.semilinear): XLA's ``associative_scan``
 materializes O(log T) intermediate passes through HBM, while this kernel
-streams A/B through VMEM once and keeps the running state in registers — a
-single sequential sweep at full (8, 128)-tile VPU occupancy.
+streams A/B through VMEM once and keeps the running state on-chip — a single
+sequential sweep.
 
-Measured on v5e: at (B=65536, T=85, D=8) this kernel runs the scan in 30us vs
-200us for ``associative_scan`` (6.7x) — the HBM-bound regime it exists for.
-At small batches the end-to-end semilinear path is dominated by the
-time-major transposes feeding it, so ``backend='assoc'`` remains the default
-there (1.3ms vs 1.9ms at B=4096 including the solve).
+Measured on v5e at (B=65536, T=85, D=8): 30us vs 200us for
+``associative_scan`` (6.7x) — the HBM-bound regime it exists for. At small
+batches the end-to-end semilinear path is dominated by layout transposes, so
+``backend='assoc'`` remains the default there.
 
-Memory layout: the flattened batch*state axis is padded to 1024 = 8*128 and
-tiled as (tiles, T, 8, 128); the grid runs over tiles (independent lanes).
-The backward pass is the same kernel on time-reversed coefficients (the
-adjoint of a linear recurrence is itself a linear recurrence):
+Memory layout: time-major (T, M) with the flattened batch*state axis M tiled
+into lane-aligned 1024-wide grid cells; each cell's (T, 1024) A/B slabs live
+in VMEM (~350 KB at T=86) for the duration of the sweep. The backward pass is
+the same kernel on time-reversed coefficients (the adjoint of a linear
+recurrence is itself a linear recurrence):
 
     lam_{t-1} = A_t * lam_t + g_{t-1};  dA_t = lam_t * x_{t-1};
     dB_t = lam_t;  dx0 = lam_0.
@@ -33,29 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_SUB, _LANE = 8, 128
-_TILE = _SUB * _LANE
+_TILE = 1024  # 8 sublanes x 128 lanes
 
 
 def _scan_kernel(a_ref, b_ref, x0_ref, out_ref):
-    """Refs: a/b (1, T, 8, 128), x0 (1, 8, 128), out (1, T+1, 8, 128)."""
-    T = a_ref.shape[1]
-    out_ref[0, 0] = x0_ref[0]
+    """Refs: a/b (T, TILE), x0 (1, TILE), out (T+1, TILE)."""
+    T = a_ref.shape[0]
+    out_ref[0:1, :] = x0_ref[:, :]
 
     def body(t, x):
-        x_new = a_ref[0, t] * x + b_ref[0, t]
-        out_ref[0, t + 1] = x_new
+        x_new = a_ref[pl.ds(t, 1), :] * x + b_ref[pl.ds(t, 1), :]
+        out_ref[pl.ds(t + 1, 1), :] = x_new
         return x_new
 
-    jax.lax.fori_loop(0, T, body, x0_ref[0])
-
-
-def _pack(arr_tm: Array, n_tiles: int) -> Array:
-    """(T, M_pad) -> (tiles, T, 8, 128)."""
-    T = arr_tm.shape[0]
-    return (
-        arr_tm.reshape(T, n_tiles, _SUB, _LANE).transpose(1, 0, 2, 3)
-    )
+    jax.lax.fori_loop(0, T, body, x0_ref[:, :])
 
 
 def _affine_scan_raw(A: Array, B: Array, x0: Array, *, interpret: bool) -> Array:
@@ -64,25 +55,23 @@ def _affine_scan_raw(A: Array, B: Array, x0: Array, *, interpret: bool) -> Array
     M_pad = ((M + _TILE - 1) // _TILE) * _TILE
     n_tiles = M_pad // _TILE
     pad = [(0, 0), (0, M_pad - M)]
-    a = _pack(jnp.pad(A, pad), n_tiles)
-    b = _pack(jnp.pad(B, pad), n_tiles)
-    x0p = jnp.pad(x0, [(0, M_pad - M)]).reshape(n_tiles, _SUB, _LANE)
+    a = jnp.pad(A, pad)
+    b = jnp.pad(B, pad)
+    x0p = jnp.pad(x0, [(0, M_pad - M)]).reshape(1, M_pad)
 
     out = pl.pallas_call(
         _scan_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, T, _SUB, _LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, _SUB, _LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, T + 1, _SUB, _LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, T + 1, _SUB, _LANE), A.dtype),
+        out_specs=pl.BlockSpec((T + 1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T + 1, M_pad), A.dtype),
         interpret=interpret,
     )(a, b, x0p)
-    return out.transpose(1, 0, 2, 3).reshape(T + 1, M_pad)[:, :M]
+    return out[:, :M]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -109,6 +98,13 @@ def _bwd(interpret, res, g):
 _affine_scan_tm.defvjp(_fwd, _bwd)
 
 
+def affine_scan_pallas_tm(A_tm: Array, B_tm: Array, x0: Array, *, interpret: bool | None = None) -> Array:
+    """Time-major entry: A_tm/B_tm (T, M), x0 (M,) -> trajectory (T+1, M)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _affine_scan_tm(A_tm, B_tm, x0, interpret)
+
+
 def affine_scan_pallas(A: Array, B: Array, x0: Array, *, interpret: bool | None = None) -> Array:
     """Drop-in replacement for ode.semilinear.solve_affine_recurrence.
 
@@ -117,11 +113,8 @@ def affine_scan_pallas(A: Array, B: Array, x0: Array, *, interpret: bool | None 
     Differentiable (custom VJP). ``interpret=None`` auto-selects interpreter
     mode off-TPU so tests run on CPU.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     Bt, T, D = A.shape
-    # time-major flatten: (T, Bt*D)
     A_tm = jnp.moveaxis(A, 1, 0).reshape(T, Bt * D)
     B_tm = jnp.moveaxis(B, 1, 0).reshape(T, Bt * D)
-    xs = _affine_scan_tm(A_tm, B_tm, x0.reshape(Bt * D), interpret)
+    xs = affine_scan_pallas_tm(A_tm, B_tm, x0.reshape(Bt * D), interpret=interpret)
     return jnp.moveaxis(xs.reshape(T + 1, Bt, D), 0, 1)
