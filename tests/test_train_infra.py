@@ -93,3 +93,20 @@ def test_step_timer():
         timer.sync(out)
     s = timer.summary()
     assert s["steps"] == 3 and s["steps_per_sec"] > 0
+
+
+def test_eval_figures_smoke(tmp_path):
+    out = str(tmp_path)
+    rng = np.random.RandomState(2)
+    y = rng.rand(10, 3, 8).astype(np.float32)
+    artifacts.dump_common(
+        out, y, np.arange(8.0),
+        {"iext": (rng.rand(10) > 0.5).astype(np.float32),
+         "rtpr": (rng.rand(10) > 0.5).astype(np.float32)},
+    )
+    artifacts.dump_recon(out, "post", {"mu_50": y, "mu_75": y + 0.1, "mu_25": y - 0.1,
+                                       "solution_xt": y, "z": y[:, 0]})
+    from structured_latent_odes_tpu.eval import figures
+
+    p = figures.class_averaged_bands(out, "post", ("iext", "rtpr"), ("a", "b", "c"), "bands.png")
+    assert os.path.exists(p)
