@@ -1,4 +1,6 @@
 from structured_latent_odes_tpu.prob.distributions import (  # noqa: F401
+    sample_bernoulli,
+    sample_onehot_categorical,
     bernoulli_logpmf,
     kl_normal_normal,
     laplace_logpdf,

@@ -58,6 +58,15 @@ def sample_laplace(key: Array, loc: Array, scale: Array) -> Array:
     return loc - scale * jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
 
 
+def sample_bernoulli(key: Array, probs: Array) -> Array:
+    return (jax.random.uniform(key, jnp.shape(probs)) < probs).astype(jnp.result_type(probs))
+
+
+def sample_onehot_categorical(key: Array, probs: Array) -> Array:
+    idx = jax.random.categorical(key, jnp.log(jnp.clip(probs, _EPS, 1.0)), axis=-1)
+    return jax.nn.one_hot(idx, jnp.shape(probs)[-1], dtype=jnp.result_type(probs))
+
+
 def kl_normal_normal(loc_q: Array, scale_q: Array, loc_p: Array, scale_p: Array) -> Array:
     """Analytic KL(q || p) between diagonal normals (elementwise)."""
     var_ratio = (scale_q / scale_p) ** 2
