@@ -126,6 +126,7 @@ def run_training_epochs(
     on_epoch: Optional[Callable] = None,
     eval_train_stats: bool = True,
     train_epoch: Optional[Callable] = None,
+    eval_every: int = 1,
 ):
     """The shared epoch loop. ``select_best`` implements each dataset's
     (different!) best-model policy; it receives and returns a dict with at
@@ -152,6 +153,17 @@ def run_training_epochs(
             for batch in iter_minibatches(splits["train"], batch_size, shuffle=True, rng=rng):
                 state, mets = train_step(state, _device_batch(batch))
                 epoch_losses.append([float(mets["loss_main"]), float(mets["loss_aux"])])
+
+        if eval_every > 1 and epoch % eval_every and epoch != config.num_epochs:
+            # fast path: skip the val/train statistics (and best-model
+            # update) this epoch — coarser early-stopping granularity
+            epoch_mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            line = "[Epoch %d/%d] loss= %.4f  [%.1fs]" % (
+                epoch, config.num_epochs, epoch_mean_loss, time.time() - t_start
+            )
+            print(line)
+            log.debug(line)
+            continue
 
         eval_key, k1, k2, k3, k4 = jax.random.split(eval_key, 5)
         val_post = eval_split(

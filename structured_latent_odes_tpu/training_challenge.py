@@ -115,6 +115,7 @@ def train(config):
         on_epoch=on_epoch,
         eval_train_stats=config.get("eval_train_stats", True),
         train_epoch=train_epoch,
+        eval_every=config.get("eval_every", 1),
     )
 
     key, k_test, k_samp = jax.random.split(key, 3)
@@ -192,6 +193,8 @@ def parse_args(argv=None):
     p.add_argument("--data-path", default=None)
     p.add_argument("--results-root", default=".")
     p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="evaluate val/train stats every N epochs (faster)")
     p.add_argument("--no-eval-train", action="store_true")
     return p.parse_args(argv)
 
@@ -208,6 +211,7 @@ def main(argv=None):
     config.results_root = args.results_root
     config.plot = not args.no_plot
     config.eval_train_stats = not args.no_eval_train
+    config.eval_every = args.eval_every
 
     out_dir = artifacts.results_dir(config.model, config.results_root)
     from structured_latent_odes_tpu.training_cvs import setup_logging
