@@ -17,10 +17,18 @@ import jax
 import numpy as np
 
 
+def _is_key(v: Any) -> bool:
+    return hasattr(v, "dtype") and jax.dtypes.issubdtype(v.dtype, jax.dtypes.prng_key)
+
+
 def _flatten_with_paths(tree: Any):
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
     paths = ["/".join(str(p) for p in kp) for kp, _ in leaves_with_paths]
-    leaves = [np.asarray(v) for _, v in leaves_with_paths]
+    # typed PRNG keys serialize via their raw key data
+    leaves = [
+        np.asarray(jax.random.key_data(v)) if _is_key(v) else np.asarray(v)
+        for _, v in leaves_with_paths
+    ]
     return paths, leaves
 
 
@@ -47,10 +55,15 @@ def restore(path: str, like: Any) -> Any:
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, expected {len(ref_leaves)}"
         )
+    out = []
     for i, (a, b) in enumerate(zip(leaves, ref_leaves)):
+        if _is_key(b):
+            out.append(jax.random.wrap_key_data(a, impl=jax.random.key_impl(b)))
+            continue
         if tuple(a.shape) != tuple(np.shape(b)):
             raise ValueError(f"leaf {i} shape {a.shape} != expected {np.shape(b)}")
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+        out.append(a)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def load_metadata(path: str) -> dict:

@@ -14,6 +14,7 @@ trimmed by the sample mask.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
@@ -127,6 +128,9 @@ def run_training_epochs(
     eval_train_stats: bool = True,
     train_epoch: Optional[Callable] = None,
     eval_every: int = 1,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """The shared epoch loop. ``select_best`` implements each dataset's
     (different!) best-model policy; it receives and returns a dict with at
@@ -134,12 +138,37 @@ def run_training_epochs(
 
     When ``train_epoch`` is given, all of an epoch's minibatches are stacked
     on host and scanned on device in ONE dispatch (the default drivers do
-    this); ``train_step`` remains the per-batch fallback."""
+    this); ``train_step`` remains the per-batch fallback.
+
+    Crash recovery (capability the reference lacks, SURVEY.md §5): with
+    ``checkpoint_every``, the FULL training state (params + both Adam states
+    + device RNG key + best snapshot) is persisted periodically; ``resume``
+    restores it and continues from the saved epoch. Host-side shuffling is
+    reseeded from (seed, epoch), so a resumed run is deterministic but not
+    batch-identical to an uninterrupted one.
+    """
+    from structured_latent_odes_tpu.train import checkpoint as ckpt
+
     best = {"params": state.params, "epoch": 0, "criterion": np.inf}
     batch_size = config.mini_batch_size
     t_start = time.time()
+    start_epoch = 0
 
-    for epoch in range(config.num_epochs + 1):
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        like = {"state": state, "best_params": state.params}
+        restored = ckpt.restore(checkpoint_path, like)
+        meta = ckpt.load_metadata(checkpoint_path)
+        state = restored["state"]
+        best = {
+            "params": restored["best_params"],
+            "epoch": meta["best_epoch"],
+            "criterion": meta["criterion"],
+        }
+        start_epoch = meta["epoch"] + 1
+        rng = np.random.RandomState(config.seed + start_epoch)
+        print(f"resumed from {checkpoint_path} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, config.num_epochs + 1):
         if train_epoch is not None:
             batches = stacked_minibatches(
                 splits["train"], batch_size, shuffle=True, rng=rng
@@ -198,6 +227,20 @@ def run_training_epochs(
             # deep-copy: the live state buffers are DONATED to the next
             # train_epoch dispatch; a stored alias would be invalidated
             best = dict(best, params=jax.tree.map(jnp.copy, best["params"]))
+
+        if checkpoint_path and checkpoint_every and epoch % checkpoint_every == 0:
+            ckpt.save(
+                checkpoint_path,
+                {
+                    "state": jax.tree.map(jnp.copy, state),
+                    "best_params": best["params"],
+                },
+                metadata={
+                    "epoch": epoch,
+                    "best_epoch": int(best["epoch"]),
+                    "criterion": float(best["criterion"]),
+                },
+            )
 
         epoch_mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         metric_str = " ".join(

@@ -116,6 +116,9 @@ def train(config):
         eval_train_stats=config.get("eval_train_stats", True),
         train_epoch=train_epoch,
         eval_every=config.get("eval_every", 1),
+        checkpoint_path=os.path.join(out_dir, "train_state.npz"),
+        checkpoint_every=config.get("checkpoint_every", 0),
+        resume=config.get("resume", False),
     )
 
     key, k_test, k_samp = jax.random.split(key, 3)
@@ -195,6 +198,10 @@ def parse_args(argv=None):
     p.add_argument("--no-plot", action="store_true")
     p.add_argument("--eval-every", type=int, default=1,
                    help="evaluate val/train stats every N epochs (faster)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="persist full training state every N epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from results_<Model>/train_state.npz")
     p.add_argument("--no-eval-train", action="store_true")
     return p.parse_args(argv)
 
@@ -212,6 +219,8 @@ def main(argv=None):
     config.plot = not args.no_plot
     config.eval_train_stats = not args.no_eval_train
     config.eval_every = args.eval_every
+    config.checkpoint_every = args.checkpoint_every
+    config.resume = args.resume
 
     out_dir = artifacts.results_dir(config.model, config.results_root)
     from structured_latent_odes_tpu.training_cvs import setup_logging

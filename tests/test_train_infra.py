@@ -110,3 +110,17 @@ def test_eval_figures_smoke(tmp_path):
 
     p = figures.class_averaged_bands(out, "post", ("iext", "rtpr"), ("a", "b", "c"), "bands.png")
     assert os.path.exists(p)
+
+
+def test_checkpoint_prng_key_roundtrip(tmp_path):
+    """Typed PRNG keys (SVIState.key) survive save/restore."""
+    key = jax.random.key(42)
+    tree = {"key": key, "w": jnp.ones(3)}
+    path = str(tmp_path / "k.npz")
+    checkpoint.save(path, tree)
+    restored = checkpoint.restore(path, tree)
+    assert jnp.array_equal(
+        jax.random.key_data(restored["key"]), jax.random.key_data(key)
+    )
+    # usable for sampling
+    jax.random.normal(restored["key"], (2,))
