@@ -19,7 +19,7 @@ from jax.sharding import Mesh
 
 from structured_latent_odes_tpu.models import elbo_aux, elbo_main
 from structured_latent_odes_tpu.models.spec import ModelSpec
-from structured_latent_odes_tpu.parallel.mesh import batch_sharded, replicated
+from structured_latent_odes_tpu.parallel.mesh import replicated
 from structured_latent_odes_tpu.train.svi import SVIState, make_optimizers
 
 
@@ -33,7 +33,6 @@ def make_dp_train_step(spec: ModelSpec, ts, lr: float, params_example, mesh: Mes
     ts = jnp.asarray(ts)
     opt_main, opt_aux = make_optimizers(spec, params_example, lr)
     repl = replicated(mesh)
-    bsh = batch_sharded(mesh)
 
     def init_state(params, key) -> SVIState:
         params = jax.device_put(params, repl)
@@ -60,7 +59,6 @@ def make_dp_train_step(spec: ModelSpec, ts, lr: float, params_example, mesh: Mes
     # state, shard_batch shards the batch leading axis; GSPMD partitions the
     # step and inserts the ICI all-reduce for the replicated-param gradients.
     train_step = jax.jit(_step)
-    del bsh
     return init_state, train_step
 
 

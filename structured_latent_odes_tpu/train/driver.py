@@ -57,7 +57,6 @@ def eval_split(
     """The ``input_pred_stats`` equivalent: per-loss ELBO, classifier metrics,
     recon outputs concatenated over the split."""
     evaluate_losses, classify, reconstruct = eval_fns
-    n_total = split["observations"].shape[0]
     elbo = [0.0, 0.0]
     total_l1, size = 0.0, 0
     recon_acc: Dict[str, List[np.ndarray]] = {}
