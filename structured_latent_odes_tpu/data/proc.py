@@ -158,15 +158,15 @@ def get_cassettes(device_indices: np.ndarray, data_cfg) -> np.ndarray:
     """Multi-one-hot cassette encoding: per group (aR then aS), one-hot of the
     device's component id (proc_dataset.py:53-73). Shape (L, device_depth)."""
 
-    def depth(values):
-        return len(set(v for v in values if v is not None))
-
+    group_depths = [
+        len(set(v for v in cm.values() if v is not None))
+        for cm in data_cfg.component_maps.values()
+    ]
     rows = []
     for d in device_indices:
         name = data_cfg.device_idx_to_device_name[int(d)]
         parts = []
-        for _, cm in data_cfg.component_maps.items():
-            n = depth(cm.values())
+        for n, cm in zip(group_depths, data_cfg.component_maps.values()):
             v = np.zeros(n, dtype=np.float32)
             if cm[name] is not None:
                 v[cm[name]] = 1.0

@@ -42,12 +42,12 @@ def lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    stale = (
-        not os.path.exists(_SO_PATH)
-        or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
+    have_src = os.path.exists(_SRC_PATH)
+    stale = not os.path.exists(_SO_PATH) or (
+        have_src and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
     )
-    if stale and not _build():
-        return None
+    if stale and (not have_src or not _build()):
+        return None  # e.g. installed wheel without the native/ source tree
     try:
         L = ctypes.CDLL(_SO_PATH)
     except OSError:

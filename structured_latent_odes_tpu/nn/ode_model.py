@@ -47,17 +47,17 @@ class OdeModelSpec:
 
 def ode_model_init(key: Array, spec: OdeModelSpec):
     L, D, H = spec.latent_dim, spec.ode_state_dim, spec.ode_hidden_dim
-    keys = jax.random.split(key, 6)
+    keys = jax.random.split(key, 8)
     # latent -> x0 net (torch default inits)
     l1_W, l1_b = torch_linear_default(keys[0], L, H)
     l2_W, l2_b = torch_linear_default(keys[1], H, D)
     # dynamics: shared hidden on [t, z] (time first), xavier weights + torch biases
     dyn_W = xavier_uniform(keys[2], L + 1, H, gain=1.0)
-    _, dyn_b = torch_linear_default(keys[2], L + 1, H)
+    _, dyn_b = torch_linear_default(keys[5], L + 1, H)
     prod_W = xavier_uniform(keys[3], H, D, gain=0.5)
-    _, prod_b = torch_linear_default(keys[3], H, D)
+    _, prod_b = torch_linear_default(keys[6], H, D)
     degr_W = xavier_uniform(keys[4], H, D, gain=1.0)
-    _, degr_b = torch_linear_default(keys[4], H, D)
+    _, degr_b = torch_linear_default(keys[7], H, D)
     return {
         "latent_to_ode": [{"W": l1_W, "b": l1_b}, {"W": l2_W, "b": l2_b}],
         "dyn_hidden": {"W": dyn_W, "b": dyn_b},

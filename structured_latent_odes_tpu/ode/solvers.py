@@ -320,7 +320,8 @@ def solve(
     if adjoint:
         from structured_latent_odes_tpu.ode.adjoint import odeint_adjoint
 
-        return odeint_adjoint(f, y0, ts, method=method)
+        # adapt the 2-arg ODEFunc to the adjoint's f(t, y, args) signature
+        return odeint_adjoint(lambda t, y, _: f(t, y), y0, ts, None, method=method)
     if adaptive:
         return odeint_adaptive(f, y0, ts, rtol=rtol, atol=atol)
     return odeint(f, y0, ts, method=method, remat=remat)

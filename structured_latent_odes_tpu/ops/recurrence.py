@@ -113,6 +113,8 @@ def affine_scan_pallas(A: Array, B: Array, x0: Array, *, interpret: bool | None 
     Differentiable (custom VJP). ``interpret=None`` auto-selects interpreter
     mode off-TPU so tests run on CPU.
     """
+    if A.ndim == 2:  # unbatched (T, D): lift to a singleton batch
+        return affine_scan_pallas(A[None], B[None], x0[None], interpret=interpret)[0]
     Bt, T, D = A.shape
     A_tm = jnp.moveaxis(A, 1, 0).reshape(T, Bt * D)
     B_tm = jnp.moveaxis(B, 1, 0).reshape(T, Bt * D)

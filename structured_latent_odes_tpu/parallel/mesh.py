@@ -48,20 +48,12 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def pad_batch_to_multiple(batch, multiple: int):
-    """Pad a (masked) batch so the leading dim divides the mesh data axis."""
-    import numpy as np
+    """Pad a batch so the leading dim divides the mesh data axis (delegates
+    to the loader's padding/mask contract)."""
+    from structured_latent_odes_tpu.data.loader import pad_to
 
     n = batch["observations"].shape[0]
     target = ((n + multiple - 1) // multiple) * multiple
-    if target == n:
+    if target == n and "mask" in batch:
         return batch
-    out = {}
-    for k, v in batch.items():
-        if k == "mask":
-            continue
-        pad = np.zeros((target - n,) + v.shape[1:], dtype=v.dtype)
-        out[k] = np.concatenate([np.asarray(v), pad], axis=0)
-    mask = np.zeros((target,), dtype=np.float32)
-    mask[:n] = np.asarray(batch.get("mask", np.ones(n, dtype=np.float32)))
-    out["mask"] = mask
-    return out
+    return pad_to(batch, target)

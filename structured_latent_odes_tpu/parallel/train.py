@@ -20,17 +20,21 @@ from jax.sharding import Mesh
 from structured_latent_odes_tpu.models import elbo_aux, elbo_main
 from structured_latent_odes_tpu.models.spec import ModelSpec
 from structured_latent_odes_tpu.parallel.mesh import replicated
-from structured_latent_odes_tpu.train.svi import SVIState, make_optimizers
+from structured_latent_odes_tpu.train.svi import SVIState, make_dual_step, make_optimizers
 
 
-def make_dp_train_step(spec: ModelSpec, ts, lr: float, params_example, mesh: Mesh):
+def make_dp_train_step(
+    spec: ModelSpec, ts, lr: float, params_example, mesh: Mesh, num_particles: int = 1
+):
     """Returns (init_state_fn, sharded jitted train_step).
 
     train_step(state, batch) -> (state, metrics); batch arrays must be
     device-put with their leading axis sharded over ``data``
-    (parallel.mesh.shard_batch).
+    (parallel.mesh.shard_batch). The update itself is the SAME dual-loss step
+    as the single-device path (train.svi.make_dual_step) — shardings
+    propagate from operand placement and GSPMD inserts the ICI all-reduce
+    for the replicated-param gradients.
     """
-    ts = jnp.asarray(ts)
     opt_main, opt_aux = make_optimizers(spec, params_example, lr)
     repl = replicated(mesh)
 
@@ -39,27 +43,8 @@ def make_dp_train_step(spec: ModelSpec, ts, lr: float, params_example, mesh: Mes
         state = SVIState(params, opt_main.init(params), opt_aux.init(params), key)
         return jax.device_put(state, repl)
 
-    def _step(state: SVIState, batch):
-        key, k1, k2 = jax.random.split(state.key, 3)
-        (loss_m, mets), grads = jax.value_and_grad(
-            lambda p: elbo_main(spec, p, k1, batch, ts), has_aux=True
-        )(state.params)
-        updates, opt_main_state = opt_main.update(grads, state.opt_main, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        loss_a, grads_a = jax.value_and_grad(lambda p: elbo_aux(spec, p, k2, batch))(params)
-        updates_a, opt_aux_state = opt_aux.update(grads_a, state.opt_aux, params)
-        params = optax.apply_updates(params, updates_a)
-
-        n = jnp.maximum(jnp.sum(batch["mask"]), 1.0)
-        metrics = {"loss_main": loss_m / n, "loss_aux": loss_a / n, "l1": mets["l1"]}
-        return SVIState(params, opt_main_state, opt_aux_state, key), metrics
-
-    # Shardings propagate from operand placement: init_state replicates the
-    # state, shard_batch shards the batch leading axis; GSPMD partitions the
-    # step and inserts the ICI all-reduce for the replicated-param gradients.
-    train_step = jax.jit(_step)
-    return init_state, train_step
+    _step = make_dual_step(spec, ts, opt_main, opt_aux, num_particles)
+    return init_state, jax.jit(_step)
 
 
 def make_dp_eval_step(spec: ModelSpec, ts, mesh: Mesh):

@@ -45,20 +45,10 @@ def make_optimizers(spec: ModelSpec, params, lr: float):
     return opt_main, opt_aux
 
 
-def make_train_step(spec: ModelSpec, ts, lr: float, params_example, num_particles: int = 1):
-    """Returns (init_state_fn, jitted train_step, jitted train_epoch).
-
-    train_step(state, batch) -> (state, metrics) where metrics carries both
-    per-loss totals (the reference logs loss/batch_size per loss,
-    training_cvs.py:147-157) and the in-model L1. ``num_particles`` averages
-    that many reparameterized ELBO particles (Trace_ELBO(num_particles)
-    semantics; the reference runs 1, config_cvs.py:47).
-    """
+def make_dual_step(spec: ModelSpec, ts, opt_main, opt_aux, num_particles: int = 1):
+    """The (unjitted) sequential dual-loss SVI update shared by the
+    single-device and data-parallel paths."""
     ts = jnp.asarray(ts)
-    opt_main, opt_aux = make_optimizers(spec, params_example, lr)
-
-    def init_state(params, key) -> SVIState:
-        return SVIState(params, opt_main.init(params), opt_aux.init(params), key)
 
     def main_loss(params, key, batch):
         if num_particles == 1:
@@ -88,6 +78,25 @@ def make_train_step(spec: ModelSpec, ts, lr: float, params_example, num_particle
         n = jnp.maximum(jnp.sum(batch["mask"]), 1.0)
         metrics = {"loss_main": loss_m / n, "loss_aux": loss_a / n, "l1": mets["l1"]}
         return SVIState(params, opt_main_state, opt_aux_state, key), metrics
+
+    return _step
+
+
+def make_train_step(spec: ModelSpec, ts, lr: float, params_example, num_particles: int = 1):
+    """Returns (init_state_fn, jitted train_step, jitted train_epoch).
+
+    train_step(state, batch) -> (state, metrics) where metrics carries both
+    per-loss totals (the reference logs loss/batch_size per loss,
+    training_cvs.py:147-157) and the in-model L1. ``num_particles`` averages
+    that many reparameterized ELBO particles (Trace_ELBO(num_particles)
+    semantics; the reference runs 1, config_cvs.py:47).
+    """
+    opt_main, opt_aux = make_optimizers(spec, params_example, lr)
+
+    def init_state(params, key) -> SVIState:
+        return SVIState(params, opt_main.init(params), opt_aux.init(params), key)
+
+    _step = make_dual_step(spec, ts, opt_main, opt_aux, num_particles)
 
     train_step = jax.jit(_step, donate_argnums=0)
 
