@@ -1,0 +1,11 @@
+from structured_latent_odes_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharded,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicated,
+    shard_batch,
+)
+from structured_latent_odes_tpu.parallel.train import (  # noqa: F401
+    make_dp_eval_step,
+    make_dp_train_step,
+)
