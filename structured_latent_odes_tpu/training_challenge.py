@@ -190,6 +190,7 @@ def parse_args(argv=None):
                    help="aux classifier site scale (reference: 46; 460 "
                         "reliably disentangles subtle inputs, see PARITY.md)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--mini-batch-size", type=int, default=None)
     p.add_argument("--split", type=int, default=None, help="fold 1..5")
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--ode-backend", default=None)

@@ -164,6 +164,7 @@ def parse_args(argv=None):
                    help="aux classifier site scale (reference: 46; 460 "
                         "reliably disentangles subtle inputs, see PARITY.md)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--mini-batch-size", type=int, default=None)
     p.add_argument("--split", type=int, default=None, help="fold 1..4")
     p.add_argument("--heldout", default=None, help="device name for zero-shot split")
     p.add_argument("--num-samples", type=int, default=None)
