@@ -157,10 +157,16 @@ def _aux_head(spec: ModelSpec, params, label: LabelSpec, z_block: Array):
     return mlp_apply(spec.aux_head_spec(label), params["aux"][label.name], z_block)
 
 
+def _aux_mult(spec: ModelSpec, batch: Batch):
+    """Aux site scale: the spec constant, overridable per batch with an
+    ``aux_mult`` scalar (enables annealing schedules under jit/scan)."""
+    return batch.get("aux_mult", spec.aux_loss_multiplier)
+
+
 def _aux_obs_terms(spec: ModelSpec, params, tr: Trace, z: Array, batch: Batch) -> None:
     """Score q(u|z_u) heads as scaled observed sites (reference ``q_label`` /
     ``q_continous``); z is the full latent, split per block."""
-    mult = spec.aux_loss_multiplier
+    mult = _aux_mult(spec, batch)
     for label in spec.labels:
         z_block = z[:, spec.block_slice(label.block)]
         target = batch[label.name]
@@ -272,7 +278,7 @@ def elbo_aux(spec: ModelSpec, params, key: Array, batch: Batch) -> Array:
         tr.model_sampled_normal(z_b, loc[:, s], scale[:, s])
         z_parts[block.name] = z_b
 
-    mult = spec.aux_loss_multiplier
+    mult = _aux_mult(spec, batch)
     for label in spec.labels:
         z_block = z_parts[label.block]
         target = batch[label.name]

@@ -167,11 +167,26 @@ def run_training_epochs(
         rng = np.random.RandomState(config.seed + start_epoch)
         print(f"resumed from {checkpoint_path} at epoch {start_epoch}")
 
+    def _epoch_aux_mult(epoch: int):
+        """Optional linear annealing of the aux-site scale (PARITY.md):
+        aux_loss_multiplier -> aux_mult_final over aux_anneal_epochs."""
+        anneal = config.get("aux_anneal_epochs") or 0
+        final = config.get("aux_mult_final")
+        if not anneal or final is None:
+            return None
+        frac = min(1.0, epoch / anneal)
+        return float(config.aux_loss_multiplier * (1 - frac) + final * frac)
+
     for epoch in range(start_epoch, config.num_epochs + 1):
+        aux_mult = _epoch_aux_mult(epoch)
         if train_epoch is not None:
             batches = stacked_minibatches(
                 splits["train"], batch_size, shuffle=True, rng=rng
             )
+            if aux_mult is not None:
+                batches["aux_mult"] = np.full(
+                    (batches["mask"].shape[0],), aux_mult, np.float32
+                )
             state, mets = train_epoch(state, _device_batch(batches))
             epoch_losses = np.stack(
                 [np.asarray(mets["loss_main"]), np.asarray(mets["loss_aux"])], axis=1

@@ -186,6 +186,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", choices=["Mechanistic", "MechanisticGauss"], default=None)
     p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--aux-mult-final", type=float, default=None,
+                   help="anneal the aux multiplier to this value")
+    p.add_argument("--aux-anneal-epochs", type=int, default=None,
+                   help="epochs over which to anneal the aux multiplier")
     p.add_argument("--aux-loss-multiplier", type=float, default=None,
                    help="aux classifier site scale (reference: 46; 460 "
                         "reliably disentangles subtle inputs, see PARITY.md)")
@@ -220,6 +224,8 @@ def main(argv=None):
     config.plot = not args.no_plot
     config.eval_train_stats = not args.no_eval_train
     config.eval_every = args.eval_every
+    config.aux_mult_final = args.aux_mult_final
+    config.aux_anneal_epochs = args.aux_anneal_epochs
     config.checkpoint_every = args.checkpoint_every
     config.resume = args.resume
 
