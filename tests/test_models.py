@@ -188,3 +188,22 @@ def test_eval_fns_run():
     assert set(p) == {"iext", "rtpr"}
     r = reconstruct(params, jax.random.key(2), batch, True)
     assert np.isfinite(float(r["l1"]))
+
+
+def test_aux_mult_override_matches_spec_constant():
+    """batch['aux_mult'] == spec constant must reproduce the same losses."""
+    spec, _ = _tiny_cvs_spec()
+    params = init_params(jax.random.key(0), spec)
+    ts = jnp.arange(20.0)
+    key = jax.random.key(11)
+    batch = _cvs_batch(5)
+    l_ref, _ = elbo_main(spec, params, key, batch, ts)
+    a_ref = elbo_aux(spec, params, key, batch)
+    batch2 = dict(batch, aux_mult=jnp.asarray(spec.aux_loss_multiplier))
+    l_ovr, _ = elbo_main(spec, params, key, batch2, ts)
+    a_ovr = elbo_aux(spec, params, key, batch2)
+    assert np.allclose(l_ref, l_ovr) and np.allclose(a_ref, a_ovr)
+    # and a different multiplier changes the aux loss but not the latent part
+    batch3 = dict(batch, aux_mult=jnp.asarray(10 * spec.aux_loss_multiplier))
+    a_big = elbo_aux(spec, params, key, batch3)
+    assert not np.allclose(a_ref, a_big)
