@@ -16,8 +16,11 @@ run_eval cvs runs/cvs460
 # Challenge fold 5 (the BASELINE.md anchor fold)
 python -m structured_latent_odes_tpu.training_challenge --num-epochs 500 --no-eval-train --results-root runs/challenge
 run_eval challenge runs/challenge
-python -m structured_latent_odes_tpu.training_challenge --num-epochs 500 --aux-loss-multiplier 460 --no-eval-train --results-root runs/challenge460
-run_eval challenge runs/challenge460
+# the recipe that beats both anchors: strong-then-annealed aux pressure
+python -m structured_latent_odes_tpu.training_challenge --split 5 --num-epochs 2000 \
+  --mini-batch-size 8 --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1000 \
+  --eval-every 4 --no-eval-train --results-root runs/challenge_anneal
+run_eval challenge runs/challenge_anneal
 
 # Synbio split 1 (anchor) and the h22 zero-shot heldout device
 python -m structured_latent_odes_tpu.training_proc --num-epochs 2500 --no-eval-train --results-root runs/proc
