@@ -170,6 +170,7 @@ def load_splits(config, reference_dir: str | None = None):
     else:
         path = os.path.join(config.data_path, "cvs.npz")
         if not os.path.exists(path):
+            print(f"CVS dataset not found at {path} — generating on device...")
             make_dataset(
                 config.data_path,
                 data_size=config.data_size,
