@@ -55,6 +55,7 @@ def load_cvs_config() -> Config:
     c.system_input_dim = 2
     c.learning_rate = 0.001
     c.num_particles = 1
+    c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
     c.adjoint_solver = False  # discretize-then-optimize is exact on TPU
     c.ode_backend = "semilinear"
     c.solver = "midpoint"
@@ -91,6 +92,7 @@ def load_challenge_config() -> Config:
     c.system_input_dim = 2
     c.learning_rate = 0.001
     c.num_particles = 1
+    c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"
@@ -134,6 +136,7 @@ def load_proc_config() -> Config:
     c.system_input_dim = 9
     c.learning_rate = 3e-4
     c.num_particles = 1
+    c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"

@@ -20,11 +20,17 @@ from jax.sharding import Mesh
 from structured_latent_odes_tpu.models import elbo_aux, elbo_main
 from structured_latent_odes_tpu.models.spec import ModelSpec
 from structured_latent_odes_tpu.parallel.mesh import replicated
-from structured_latent_odes_tpu.train.svi import SVIState, make_dual_step, make_optimizers
+from structured_latent_odes_tpu.train.svi import SVIState, make_dual_optimizer, make_dual_step
 
 
 def make_dp_train_step(
-    spec: ModelSpec, ts, lr: float, params_example, mesh: Mesh, num_particles: int = 1
+    spec: ModelSpec,
+    ts,
+    lr: float,
+    params_example,
+    mesh: Mesh,
+    num_particles: int = 1,
+    optimizer: str = "shared",
 ):
     """Returns (init_state_fn, sharded jitted train_step).
 
@@ -35,15 +41,15 @@ def make_dp_train_step(
     propagate from operand placement and GSPMD inserts the ICI all-reduce
     for the replicated-param gradients.
     """
-    opt_main, opt_aux = make_optimizers(spec, params_example, lr)
+    optim = make_dual_optimizer(spec, params_example, lr, optimizer)
     repl = replicated(mesh)
 
     def init_state(params, key) -> SVIState:
         params = jax.device_put(params, repl)
-        state = SVIState(params, opt_main.init(params), opt_aux.init(params), key)
+        state = SVIState(params, optim.init(params), key)
         return jax.device_put(state, repl)
 
-    _step = make_dual_step(spec, ts, opt_main, opt_aux, num_particles)
+    _step = make_dual_step(spec, ts, optim, num_particles)
     return init_state, jax.jit(_step)
 
 

@@ -1,18 +1,28 @@
-"""SVI engine: dual-loss training step with per-loss masked Adam.
+"""SVI engine: dual-loss training step with a SHARED per-parameter Adam.
 
 Replaces pyro.infer.SVI + pyro.optim.Adam (reference training loop,
 /root/reference/training_cvs.py:226-266). The reference steps TWO SVI losses
-sequentially per minibatch against one lazily-allocated per-parameter Adam;
-here each loss gets an ``optax.masked(adam)`` over exactly the parameter
-groups that loss structurally touches (models.slode.param_masks), preserving
-Pyro's update semantics (a parameter's moments/step-count only advance when
-its loss runs). The whole dual update compiles into ONE XLA executable.
+sequentially per minibatch against ONE ``pyro.optim.Adam`` — which lazily
+builds one ``torch.optim.Adam`` *per parameter* and, on each ``SVI.step``,
+advances only the parameters that received gradients from that loss. The
+crucial consequence: a parameter touched by BOTH losses (the encoder
+everywhere; the aux heads for proc where ``spec.aux_in_model``) accumulates
+first/second moments from *both* gradient streams into the *same* Adam slots,
+and its bias-correction step count advances on every touch.
+
+``optimizer='shared'`` (default) reproduces exactly that: one set of
+(mu, nu, count) slots per parameter; the main loss advances the slots of the
+parameters it structurally touches (models.slode.param_masks), then the aux
+loss advances its own set — shared parameters see both, in sequence, just
+like torch.optim.Adam under Pyro. ``optimizer='split'`` keeps the round-1
+behavior (two independent ``optax.masked(adam)`` chains) for controlled
+comparisons. The whole dual update compiles into ONE XLA executable.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +42,89 @@ Array = jax.Array
 
 class SVIState(NamedTuple):
     params: Any
-    opt_main: Any
-    opt_aux: Any
+    opt: Any  # AdamSlots (shared) | (opt_main_state, opt_aux_state) (split)
     key: Array
 
 
+class AdamSlots(NamedTuple):
+    """Per-parameter Adam moments + per-parameter step counts (pytrees
+    congruent with params). One set of slots serves both losses, matching
+    Pyro's lazily-built per-param torch.optim.Adam instances."""
+
+    mu: Any
+    nu: Any
+    count: Any  # int32 scalar per leaf
+
+
+class DualOptimizer(NamedTuple):
+    """Bundles state init + the two per-loss update rules."""
+
+    init: Callable[[Any], Any]
+    update_main: Callable[[Any, Any, Any], Tuple[Any, Any]]  # (grads, opt, params)
+    update_aux: Callable[[Any, Any, Any], Tuple[Any, Any]]
+
+
+def shared_adam_init(params) -> AdamSlots:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return AdamSlots(
+        mu=zeros,
+        nu=jax.tree.map(jnp.zeros_like, params),
+        count=jax.tree.map(lambda _: jnp.zeros((), jnp.int32), params),
+    )
+
+
+def shared_adam_update(
+    grads,
+    slots: AdamSlots,
+    params,
+    mask,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+):
+    """One torch.optim.Adam step on the parameters whose ``mask`` leaf is True.
+
+    Masked-out leaves are untouched — params, moments, AND step count — which
+    is exactly torch's behavior for params with ``grad is None`` (not in this
+    loss's graph). Masks are static Python bools, so the skipped leaves cost
+    nothing inside jit.
+    """
+    p_leaves, treedef = jax.tree_util.tree_flatten(params)
+    g_leaves = treedef.flatten_up_to(grads)
+    m_leaves = treedef.flatten_up_to(slots.mu)
+    n_leaves = treedef.flatten_up_to(slots.nu)
+    c_leaves = treedef.flatten_up_to(slots.count)
+    mask_leaves = treedef.flatten_up_to(mask)
+
+    new_p, new_m, new_n, new_c = [], [], [], []
+    for p, g, m, n, c, mk in zip(
+        p_leaves, g_leaves, m_leaves, n_leaves, c_leaves, mask_leaves
+    ):
+        if not mk:
+            new_p.append(p), new_m.append(m), new_n.append(n), new_c.append(c)
+            continue
+        c2 = c + 1
+        m2 = b1 * m + (1.0 - b1) * g
+        n2 = b2 * n + (1.0 - b2) * g * g
+        t = c2.astype(jnp.float32)
+        m_hat = m2 / (1.0 - jnp.power(b1, t))
+        n_hat = n2 / (1.0 - jnp.power(b2, t))
+        new_p.append(p - lr * m_hat / (jnp.sqrt(n_hat) + eps))
+        new_m.append(m2), new_n.append(n2), new_c.append(c2)
+
+    unflat = jax.tree_util.tree_unflatten
+    return unflat(treedef, new_p), AdamSlots(
+        unflat(treedef, new_m), unflat(treedef, new_n), unflat(treedef, new_c)
+    )
+
+
 def make_optimizers(spec: ModelSpec, params, lr: float):
+    """Round-1 'split' optimizers: two independent masked optax Adams.
+
+    Kept for controlled shared-vs-split experiments (PARITY.md); the shared
+    variant is the Pyro-parity default.
+    """
     main_mask, aux_mask = param_masks(spec, params)
     adam = lambda: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     opt_main = optax.masked(adam(), main_mask)
@@ -45,7 +132,40 @@ def make_optimizers(spec: ModelSpec, params, lr: float):
     return opt_main, opt_aux
 
 
-def make_dual_step(spec: ModelSpec, ts, opt_main, opt_aux, num_particles: int = 1):
+def make_dual_optimizer(
+    spec: ModelSpec, params_example, lr: float, mode: str = "shared"
+) -> DualOptimizer:
+    if mode == "shared":
+        main_mask, aux_mask = param_masks(spec, params_example)
+
+        def update(grads, slots, params, mask):
+            return shared_adam_update(grads, slots, params, mask, lr)
+
+        return DualOptimizer(
+            init=shared_adam_init,
+            update_main=lambda g, s, p: update(g, s, p, main_mask),
+            update_aux=lambda g, s, p: update(g, s, p, aux_mask),
+        )
+    if mode == "split":
+        opt_main, opt_aux = make_optimizers(spec, params_example, lr)
+
+        def upd_main(grads, opt, params):
+            updates, main_state = opt_main.update(grads, opt[0], params)
+            return optax.apply_updates(params, updates), (main_state, opt[1])
+
+        def upd_aux(grads, opt, params):
+            updates, aux_state = opt_aux.update(grads, opt[1], params)
+            return optax.apply_updates(params, updates), (opt[0], aux_state)
+
+        return DualOptimizer(
+            init=lambda p: (opt_main.init(p), opt_aux.init(p)),
+            update_main=upd_main,
+            update_aux=upd_aux,
+        )
+    raise ValueError(f"unknown optimizer mode: {mode!r}")
+
+
+def make_dual_step(spec: ModelSpec, ts, optim: DualOptimizer, num_particles: int = 1):
     """The (unjitted) sequential dual-loss SVI update shared by the
     single-device and data-parallel paths."""
     ts = jnp.asarray(ts)
@@ -68,35 +188,41 @@ def make_dual_step(spec: ModelSpec, ts, opt_main, opt_aux, num_particles: int = 
         (loss_m, mets), grads = jax.value_and_grad(main_loss, has_aux=True)(
             state.params, k1, batch
         )
-        updates, opt_main_state = opt_main.update(grads, state.opt_main, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt = optim.update_main(grads, state.opt, state.params)
 
         loss_a, grads_a = jax.value_and_grad(aux_loss)(params, k2, batch)
-        updates_a, opt_aux_state = opt_aux.update(grads_a, state.opt_aux, params)
-        params = optax.apply_updates(params, updates_a)
+        params, opt = optim.update_aux(grads_a, opt, params)
 
         n = jnp.maximum(jnp.sum(batch["mask"]), 1.0)
         metrics = {"loss_main": loss_m / n, "loss_aux": loss_a / n, "l1": mets["l1"]}
-        return SVIState(params, opt_main_state, opt_aux_state, key), metrics
+        return SVIState(params, opt, key), metrics
 
     return _step
 
 
-def make_train_step(spec: ModelSpec, ts, lr: float, params_example, num_particles: int = 1):
+def make_train_step(
+    spec: ModelSpec,
+    ts,
+    lr: float,
+    params_example,
+    num_particles: int = 1,
+    optimizer: str = "shared",
+):
     """Returns (init_state_fn, jitted train_step, jitted train_epoch).
 
     train_step(state, batch) -> (state, metrics) where metrics carries both
     per-loss totals (the reference logs loss/batch_size per loss,
     training_cvs.py:147-157) and the in-model L1. ``num_particles`` averages
     that many reparameterized ELBO particles (Trace_ELBO(num_particles)
-    semantics; the reference runs 1, config_cvs.py:47).
+    semantics; the reference runs 1, config_cvs.py:47). ``optimizer``:
+    'shared' (Pyro-parity single per-param Adam) | 'split' (round-1 behavior).
     """
-    opt_main, opt_aux = make_optimizers(spec, params_example, lr)
+    optim = make_dual_optimizer(spec, params_example, lr, optimizer)
 
     def init_state(params, key) -> SVIState:
-        return SVIState(params, opt_main.init(params), opt_aux.init(params), key)
+        return SVIState(params, optim.init(params), key)
 
-    _step = make_dual_step(spec, ts, opt_main, opt_aux, num_particles)
+    _step = make_dual_step(spec, ts, optim, num_particles)
 
     train_step = jax.jit(_step, donate_argnums=0)
 
@@ -128,8 +254,10 @@ def make_eval_fns(spec: ModelSpec, ts):
         return loss_m, loss_a
 
     @jax.jit
-    def classify(params, key, obs):
-        return classifier(spec, params, key, obs)
+    def classify(params, key, batch):
+        return classifier(
+            spec, params, key, batch["observations"], batch.get("sample_id")
+        )
 
     @functools.partial(jax.jit, static_argnames=("is_post",))
     def reconstruct(params, key, batch, is_post: bool):

@@ -61,7 +61,9 @@ def train(config):
     print(f"Model: {config.model} - with {n_params} parameters.")
 
     init_state, train_step, train_epoch = make_train_step(
-        spec, times, config.learning_rate, params, num_particles=config.get("num_particles", 1)
+        spec, times, config.learning_rate, params,
+        num_particles=config.get("num_particles", 1),
+        optimizer=config.get("optimizer", "shared"),
     )
     eval_fns = make_eval_fns(spec, times)
     state = init_state(params, k_train)
@@ -170,6 +172,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--mini-batch-size", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--optimizer", choices=["shared", "split"], default=None,
+                   help="shared per-param Adam (Pyro parity) or two split Adams")
     p.add_argument("--quantile-diff", type=float, default=None)
     p.add_argument("--solver", default=None)
     p.add_argument("--ode-backend", default=None)

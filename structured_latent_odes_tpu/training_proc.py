@@ -49,7 +49,9 @@ def train(config):
     print(f"Model: {config.model} - with {n_params} parameters.")
 
     init_state, train_step, train_epoch = make_train_step(
-        spec, times, config.learning_rate, params, num_particles=config.get("num_particles", 1)
+        spec, times, config.learning_rate, params,
+        num_particles=config.get("num_particles", 1),
+        optimizer=config.get("optimizer", "shared"),
     )
     eval_fns = make_eval_fns(spec, times)
     state = init_state(params, k_train)
@@ -169,6 +171,9 @@ def parse_args(argv=None):
                         "reliably disentangles subtle inputs, see PARITY.md)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--mini-batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--optimizer", choices=["shared", "split"], default=None,
+                   help="shared per-param Adam (Pyro parity) or two split Adams")
     p.add_argument("--split", type=int, default=None, help="fold 1..4")
     p.add_argument("--heldout", default=None, help="device name for zero-shot split")
     p.add_argument("--num-samples", type=int, default=None)

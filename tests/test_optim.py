@@ -1,0 +1,109 @@
+"""Shared per-parameter Adam: exact parity with torch.optim.Adam under the
+reference's dual-SVI update pattern (/root/reference/training_cvs.py:227,
+238-249 — ONE pyro.optim.Adam stepped by BOTH losses; a shared parameter's
+moments/step-count advance on every loss that touches it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from structured_latent_odes_tpu.train.svi import shared_adam_init, shared_adam_update
+
+LR = 1e-2
+
+
+def _torch_dual_adam(params0, main_grads, aux_grads, main_mask, aux_mask, steps):
+    """Pyro-style: one torch Adam slot set per param; per loss, only params
+    with grads step (grad=None params are skipped entirely by torch)."""
+    tparams = {k: torch.tensor(np.asarray(v), requires_grad=True) for k, v in params0.items()}
+    opt = torch.optim.Adam(list(tparams.values()), lr=LR, betas=(0.9, 0.999), eps=1e-8)
+    for i in range(steps):
+        for grads, mask in ((main_grads, main_mask), (aux_grads, aux_mask)):
+            opt.zero_grad(set_to_none=True)
+            for k, p in tparams.items():
+                if mask[k]:
+                    p.grad = torch.tensor(np.asarray(grads[k](i)))
+            opt.step()
+    return {k: p.detach().numpy() for k, p in tparams.items()}
+
+
+def test_shared_adam_matches_torch_dual_loss():
+    rng = np.random.RandomState(0)
+    params0 = {
+        "enc": rng.randn(3, 2).astype(np.float32),  # shared by both losses
+        "dec": rng.randn(4).astype(np.float32),  # main only
+        "aux": rng.randn(2).astype(np.float32),  # aux only
+    }
+    main_mask = {"enc": True, "dec": True, "aux": False}
+    aux_mask = {"enc": True, "dec": False, "aux": True}
+    # deterministic pseudo-grad streams, different per loss
+    main_grads = {k: (lambda i, k=k: (np.sin(i + len(k)) * np.ones_like(params0[k])).astype(np.float32)) for k in params0}
+    aux_grads = {k: (lambda i, k=k: (np.cos(2 * i + len(k)) * np.ones_like(params0[k])).astype(np.float32)) for k in params0}
+
+    steps = 7
+    expected = _torch_dual_adam(params0, main_grads, aux_grads, main_mask, aux_mask, steps)
+
+    params = {k: jnp.asarray(v) for k, v in params0.items()}
+    slots = shared_adam_init(params)
+    for i in range(steps):
+        g_main = {k: jnp.asarray(main_grads[k](i)) for k in params}
+        params, slots = shared_adam_update(g_main, slots, params, main_mask, LR)
+        g_aux = {k: jnp.asarray(aux_grads[k](i)) for k in params}
+        params, slots = shared_adam_update(g_aux, slots, params, aux_mask, LR)
+
+    for k in params0:
+        np.testing.assert_allclose(np.asarray(params[k]), expected[k], rtol=1e-5, atol=1e-6)
+
+    # shared param stepped by both losses; exclusive params by one each
+    assert int(slots.count["enc"]) == 2 * steps
+    assert int(slots.count["dec"]) == steps
+    assert int(slots.count["aux"]) == steps
+    # untouched slots stay exactly zero for masked-out params' moments
+    np.testing.assert_array_equal(np.asarray(slots.mu["dec"] != 0).any(), True)
+
+
+def test_masked_out_leaves_untouched():
+    params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    slots = shared_adam_init(params)
+    grads = {"a": jnp.full((3,), 0.5), "b": jnp.full((3,), 0.5)}
+    new_params, new_slots = shared_adam_update(
+        grads, slots, params, {"a": True, "b": False}, LR
+    )
+    np.testing.assert_array_equal(np.asarray(new_params["b"]), np.ones(3))
+    np.testing.assert_array_equal(np.asarray(new_slots.mu["b"]), np.zeros(3))
+    assert int(new_slots.count["b"]) == 0
+    assert int(new_slots.count["a"]) == 1
+    assert not np.allclose(np.asarray(new_params["a"]), np.ones(3))
+
+
+def test_split_vs_shared_differ_on_shared_params():
+    """Sanity: the two optimizer modes genuinely differ for a parameter
+    receiving both gradient streams (this is the round-1 deviation)."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, init_params
+    from structured_latent_odes_tpu.train.svi import make_train_step
+
+    config = load_cvs_config()
+    config.seq_len = 16
+    spec = cvs_spec(config, n_time=16)
+    params = init_params(jax.random.key(0), spec)
+    rng = np.random.RandomState(1)
+    batch = {
+        "observations": jnp.asarray(rng.rand(4, 3, 16), jnp.float32),
+        "iext": jnp.asarray((rng.rand(4, 1) > 0.5).astype(np.float32)),
+        "rtpr": jnp.asarray((rng.rand(4, 1) > 0.5).astype(np.float32)),
+        "mask": jnp.ones((4,), jnp.float32),
+    }
+    ts = jnp.arange(16.0)
+    results = {}
+    for mode in ("shared", "split"):
+        init_state, train_step, _ = make_train_step(spec, ts, 1e-2, params, optimizer=mode)
+        # train_step donates its input state; give each mode its own buffers
+        state = init_state(jax.tree.map(jnp.copy, params), jax.random.key(2))
+        for _ in range(3):
+            state, _m = train_step(state, batch)
+        results[mode] = state.params
+    enc_shared = jax.tree.leaves(results["shared"]["encoder"])[0]
+    enc_split = jax.tree.leaves(results["split"]["encoder"])[0]
+    assert not np.allclose(np.asarray(enc_shared), np.asarray(enc_split))
