@@ -64,6 +64,9 @@ def iter_minibatches(
     for start in range(0, n, batch_size):
         sel = idx[start : start + batch_size]
         batch = {k: v[sel] for k, v in split.items()}
+        # per-sample RNG identity: the sample's original index within its
+        # split, so draws are independent of shuffling/batching/padding
+        batch["sample_id"] = sel.astype(np.int32)
         if pad and len(sel) < batch_size:
             batch = pad_to(batch, batch_size)
         else:
@@ -104,12 +107,14 @@ def stacked_minibatches(
             packed = v[sel]
         out[k] = packed.reshape((n_batches, batch_size) + v.shape[1:])
     out["mask"] = mask.reshape(n_batches, batch_size)
+    out["sample_id"] = sel.astype(np.int32).reshape(n_batches, batch_size)
     return out
 
 
 def full_batch(split: Split, pad_to_size: Optional[int] = None) -> Split:
     out = dict(split)
     n = out["observations"].shape[0]
+    out["sample_id"] = np.arange(n, dtype=np.int32)
     if pad_to_size is not None and n < pad_to_size:
         out = pad_to(out, pad_to_size)
     else:

@@ -41,7 +41,7 @@ from structured_latent_odes_tpu.prob import (
     normal_logpdf,
     onehot_categorical_logpmf,
     quantile_laplace_logprob,
-    sample_normal,
+    sample_normal_ps,
 )
 
 Array = jax.Array
@@ -113,6 +113,16 @@ def encode(spec: ModelSpec, params, obs: Array) -> Tuple[Array, Array]:
     return conv_encoder_apply(spec.encoder, params["encoder"], obs)
 
 
+def _sample_ids(batch: Batch) -> Array:
+    """Integer identity per sample for per-sample RNG keying. Loaders attach
+    the sample's global index within its split as ``sample_id``; absent that,
+    the within-batch position (still padding-stable, since padding appends)."""
+    sid = batch.get("sample_id")
+    if sid is None:
+        return jnp.arange(batch["observations"].shape[0])
+    return sid
+
+
 def _prior_input(spec: ModelSpec, batch: Batch) -> Array:
     return jnp.concatenate([batch[name] for name in spec.prior_input_order], axis=-1)
 
@@ -137,19 +147,21 @@ def sample_prior_z(spec: ModelSpec, params, key: Array, batch: Batch) -> Array:
     (reference ``get_prior_z`` / the prior branch of ``recon``)."""
     pp = prior_params(spec, params, batch)
     batch_size = batch["observations"].shape[0]
+    sids = _sample_ids(batch)
     parts = []
     if spec.prior == "separate":
         for block in spec.labeled_blocks:
             key, sub = jax.random.split(key)
             loc, scale = pp[block.name]
-            parts.append(sample_normal(sub, loc, scale))
+            parts.append(sample_normal_ps(sub, sids, loc, scale))
     else:
         key, sub = jax.random.split(key)
         loc, scale = pp["z_u"]
-        parts.append(sample_normal(sub, loc, scale))
+        parts.append(sample_normal_ps(sub, sids, loc, scale))
     key, sub = jax.random.split(key)
     eps_dim = spec.epsilon_block.dim
-    parts.append(jax.random.normal(sub, (batch_size, eps_dim)))
+    zeros = jnp.zeros((batch_size, eps_dim))
+    parts.append(sample_normal_ps(sub, sids, zeros, jnp.ones_like(zeros)))
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -223,6 +235,7 @@ def elbo_main(
     """
     obs = batch["observations"]
     mask = batch.get("mask")
+    sids = _sample_ids(batch)
     loc, scale = encode(spec, params, obs)
     tr = Trace()
 
@@ -234,7 +247,7 @@ def elbo_main(
         for block in spec.labeled_blocks:
             key, sub = jax.random.split(key)
             s = spec.block_slice(block.name)
-            z_b = sample_normal(sub, loc[:, s], scale[:, s])
+            z_b = sample_normal_ps(sub, sids, loc[:, s], scale[:, s])
             p_loc, p_scale = pp[block.name]
             tr.latent_normal(z_b, loc[:, s], scale[:, s], p_loc, p_scale)
             parts.append(z_b)
@@ -242,13 +255,13 @@ def elbo_main(
     else:
         key, sub = jax.random.split(key)
         q_loc, q_scale = loc[:, :z_u_dim], scale[:, :z_u_dim]
-        z_u = sample_normal(sub, q_loc, q_scale)
+        z_u = sample_normal_ps(sub, sids, q_loc, q_scale)
         p_loc, p_scale = pp["z_u"]
         tr.latent_normal(z_u, q_loc, q_scale, p_loc, p_scale)
 
     key, sub = jax.random.split(key)
     q_loc_e, q_scale_e = loc[:, -eps_dim:], scale[:, -eps_dim:]
-    z_eps = sample_normal(sub, q_loc_e, q_scale_e)
+    z_eps = sample_normal_ps(sub, sids, q_loc_e, q_scale_e)
     tr.latent_normal(z_eps, q_loc_e, q_scale_e, jnp.zeros_like(q_loc_e), jnp.ones_like(q_scale_e))
 
     z = jnp.concatenate([z_u, z_eps], axis=-1)
@@ -268,13 +281,14 @@ def elbo_aux(spec: ModelSpec, params, key: Array, batch: Batch) -> Array:
     classifier/regressor sites (mechanistic_cvs.py:240-276)."""
     obs = batch["observations"]
     mask = batch.get("mask")
+    sids = _sample_ids(batch)
     loc, scale = encode(spec, params, obs)
     tr = Trace()
     z_parts = {}
     for block in spec.labeled_blocks:
         key, sub = jax.random.split(key)
         s = spec.block_slice(block.name)
-        z_b = sample_normal(sub, loc[:, s], scale[:, s])
+        z_b = sample_normal_ps(sub, sids, loc[:, s], scale[:, s])
         tr.model_sampled_normal(z_b, loc[:, s], scale[:, s])
         z_parts[block.name] = z_b
 
@@ -301,16 +315,19 @@ def elbo_aux(spec: ModelSpec, params, key: Array, batch: Batch) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def classifier(spec: ModelSpec, params, key: Array, obs: Array) -> Dict[str, Array]:
+def classifier(
+    spec: ModelSpec, params, key: Array, obs: Array, sample_ids: Optional[Array] = None
+) -> Dict[str, Array]:
     """Predict system inputs from posterior samples (reference ``classifier``/
     ``pred_inputs``): bernoulli -> thresholded at 0.5, onehot -> argmax
     one-hot, continuous -> regressed loc."""
     loc, scale = encode(spec, params, obs)
+    sids = jnp.arange(obs.shape[0]) if sample_ids is None else sample_ids
     out = {}
     for label in spec.labels:
         key, sub = jax.random.split(key)
         s = spec.block_slice(label.block)
-        z_b = sample_normal(sub, loc[:, s], scale[:, s])
+        z_b = sample_normal_ps(sub, sids, loc[:, s], scale[:, s])
         if label.kind == "bernoulli":
             alpha = _aux_head(spec, params, label, z_b)
             out[label.name] = (alpha > 0.5).astype(obs.dtype)
@@ -344,7 +361,7 @@ def recon(
     if is_post:
         loc, scale = encode(spec, params, obs)
         key, sub = jax.random.split(key)
-        z = sample_normal(sub, loc, scale)
+        z = sample_normal_ps(sub, _sample_ids(batch), loc, scale)
     else:
         key, sub = jax.random.split(key)
         z = sample_prior_z(spec, params, sub, batch)

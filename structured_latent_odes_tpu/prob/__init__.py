@@ -7,7 +7,9 @@ from structured_latent_odes_tpu.prob.distributions import (  # noqa: F401
     normal_logpdf,
     onehot_categorical_logpmf,
     sample_laplace,
+    per_sample_keys,
     sample_normal,
+    sample_normal_ps,
     sum_event,
 )
 from structured_latent_odes_tpu.prob.elbo import (  # noqa: F401

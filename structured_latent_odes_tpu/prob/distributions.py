@@ -51,6 +51,24 @@ def sample_normal(key: Array, loc: Array, scale: Array) -> Array:
     return loc + scale * eps
 
 
+def per_sample_keys(key: Array, sample_ids: Array) -> Array:
+    """One independent PRNG key per sample: folds each sample's identity into
+    the site key, so a sample's draw depends only on (site key, sample_id) —
+    never on batch size, padding, or the other samples in the batch. This
+    makes padded-vs-unpadded batches bit-identical, eval metrics independent
+    of batch size, and checkpoint resume batch-exact."""
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, sample_ids)
+
+
+def sample_normal_ps(key: Array, sample_ids: Array, loc: Array, scale: Array) -> Array:
+    """Per-sample-keyed reparameterized normal draw; ``loc``/``scale`` are
+    (B, ...) with ``sample_ids`` (B,) integer identities."""
+    keys = per_sample_keys(key, sample_ids)
+    dtype = jnp.result_type(loc)
+    eps = jax.vmap(lambda k, l: jax.random.normal(k, l.shape, dtype))(keys, loc)
+    return loc + scale * eps
+
+
 def sample_laplace(key: Array, loc: Array, scale: Array) -> Array:
     u = jax.random.uniform(
         key, jnp.shape(loc), dtype=jnp.result_type(loc), minval=-0.5 + 1e-7, maxval=0.5

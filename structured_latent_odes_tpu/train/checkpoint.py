@@ -47,10 +47,36 @@ def save(path: str, tree: Any, metadata: dict | None = None) -> None:
 
 
 def restore(path: str, like: Any) -> Any:
-    """Restore into the structure of ``like`` (shape/dtype validated)."""
+    """Restore into the structure of ``like``.
+
+    Validated structurally: the stored key-path list (the treedef sidecar) is
+    compared against ``like``'s paths, so two pytrees with identical leaf
+    shapes in different structural positions cannot restore silently wrong —
+    the first differing path is named in the error. Shapes/dtypes are then
+    checked leaf-by-leaf.
+    """
     z = np.load(path)
     leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    ref_paths, _ = _flatten_with_paths(like)
     ref_leaves, treedef = jax.tree_util.tree_flatten(like)
+    try:
+        with open(path + ".json") as f:
+            stored_paths = json.load(f).get("paths")
+    except FileNotFoundError:
+        stored_paths = None
+    if stored_paths is not None:
+        for i, (sp, rp) in enumerate(zip(stored_paths, ref_paths)):
+            if sp != rp:
+                raise ValueError(
+                    f"checkpoint structure mismatch at leaf {i}: stored path "
+                    f"{sp!r} != expected {rp!r}"
+                )
+        if len(stored_paths) != len(ref_paths):
+            raise ValueError(
+                f"checkpoint has {len(stored_paths)} leaves, expected "
+                f"{len(ref_paths)}; first extra path: "
+                f"{(stored_paths + ref_paths)[min(len(stored_paths), len(ref_paths))]!r}"
+            )
     if len(leaves) != len(ref_leaves):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, expected {len(ref_leaves)}"
@@ -61,9 +87,37 @@ def restore(path: str, like: Any) -> Any:
             out.append(jax.random.wrap_key_data(a, impl=jax.random.key_impl(b)))
             continue
         if tuple(a.shape) != tuple(np.shape(b)):
-            raise ValueError(f"leaf {i} shape {a.shape} != expected {np.shape(b)}")
+            raise ValueError(
+                f"leaf {i} ({ref_paths[i]}) shape {a.shape} != expected {np.shape(b)}"
+            )
         out.append(a)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def host_rng_tree(rng: "np.random.RandomState") -> dict:
+    """Snapshot a numpy RandomState as plain arrays (checkpointable), so
+    host-side shuffling resumes batch-exactly (the reference cannot resume at
+    all; SURVEY.md §5)."""
+    kind, keys, pos, has_gauss, cached = rng.get_state()
+    assert kind == "MT19937", kind
+    return {
+        "mt_keys": np.asarray(keys, dtype=np.uint32),
+        "pos": np.asarray(pos, dtype=np.int64),
+        "has_gauss": np.asarray(has_gauss, dtype=np.int64),
+        "cached_gaussian": np.asarray(cached, dtype=np.float64),
+    }
+
+
+def apply_host_rng_tree(rng: "np.random.RandomState", tree: dict) -> None:
+    rng.set_state(
+        (
+            "MT19937",
+            np.asarray(tree["mt_keys"], dtype=np.uint32),
+            int(tree["pos"]),
+            int(tree["has_gauss"]),
+            float(tree["cached_gaussian"]),
+        )
+    )
 
 
 def load_metadata(path: str) -> dict:

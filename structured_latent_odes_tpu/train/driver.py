@@ -83,7 +83,7 @@ def eval_split(
             for label in spec.labels:
                 labels_acc.setdefault(label.name, []).append(batch[label.name][sel])
 
-        p = classify(params, k3, b["observations"])
+        p = classify(params, k3, b)
         sel = batch["mask"] > 0
         for label in spec.labels:
             preds_acc.setdefault(label.name, []).append(np.asarray(p[label.name])[sel])
@@ -140,11 +140,13 @@ def run_training_epochs(
     this); ``train_step`` remains the per-batch fallback.
 
     Crash recovery (capability the reference lacks, SURVEY.md §5): with
-    ``checkpoint_every``, the FULL training state (params + both Adam states
-    + device RNG key + best snapshot) is persisted periodically; ``resume``
-    restores it and continues from the saved epoch. Host-side shuffling is
-    reseeded from (seed, epoch), so a resumed run is deterministic but not
-    batch-identical to an uninterrupted one.
+    ``checkpoint_every``, the FULL training state (params + Adam slots +
+    device RNG key + best snapshot + host shuffle-RNG state + eval key) is
+    persisted periodically; ``resume`` restores it and continues from the
+    saved epoch. Because the host RNG state and both device keys are
+    restored, and all model draws are per-sample keyed, a resumed run is
+    BATCH-EXACT: it replays the identical shuffles, draws, and updates the
+    uninterrupted run would have made (tested in test_train_infra).
     """
     from structured_latent_odes_tpu.train import checkpoint as ckpt
 
@@ -154,17 +156,23 @@ def run_training_epochs(
     start_epoch = 0
 
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        like = {"state": state, "best_params": state.params}
+        like = {
+            "state": state,
+            "best_params": state.params,
+            "eval_key": eval_key,
+            "host_rng": ckpt.host_rng_tree(rng),
+        }
         restored = ckpt.restore(checkpoint_path, like)
         meta = ckpt.load_metadata(checkpoint_path)
         state = restored["state"]
+        eval_key = restored["eval_key"]
+        ckpt.apply_host_rng_tree(rng, restored["host_rng"])
         best = {
             "params": restored["best_params"],
             "epoch": meta["best_epoch"],
             "criterion": meta["criterion"],
         }
         start_epoch = meta["epoch"] + 1
-        rng = np.random.RandomState(config.seed + start_epoch)
         print(f"resumed from {checkpoint_path} at epoch {start_epoch}")
 
     def _epoch_aux_mult(epoch: int):
@@ -248,6 +256,8 @@ def run_training_epochs(
                 {
                     "state": jax.tree.map(jnp.copy, state),
                     "best_params": best["params"],
+                    "eval_key": eval_key,
+                    "host_rng": ckpt.host_rng_tree(rng),
                 },
                 metadata={
                     "epoch": epoch,

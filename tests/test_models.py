@@ -111,29 +111,54 @@ def test_all_six_models_run(dataset, model):
 
 
 def test_padding_mask_invariance():
-    """A padded batch must produce the identical loss as the unpadded one."""
+    """A padded batch produces EXACTLY the unpadded loss (and recon), because
+    every draw is keyed per-sample (prob.sample_normal_ps) — batch size and
+    padding cannot perturb a sample's RNG stream."""
     spec, _ = _tiny_cvs_spec()
     params = init_params(jax.random.key(0), spec)
     ts = jnp.arange(20.0)
     batch = _cvs_batch(6)
     key = jax.random.key(3)
-    loss_ref, _ = elbo_main(spec, params, key, batch, ts)
+    loss_ref, mets_ref = elbo_main(spec, params, key, batch, ts)
+    aux_ref = elbo_aux(spec, params, key, batch)
+    r_ref = recon(spec, params, key, batch, ts, is_post=True)
 
     padded = {
         k: jnp.concatenate([v, jnp.zeros((3,) + v.shape[1:], v.dtype)]) for k, v in batch.items()
     }
     padded["mask"] = jnp.concatenate([jnp.ones(6), jnp.zeros(3)])
     loss_pad, _ = elbo_main(spec, params, key, padded, ts)
-    # RNG draws differ in shape, so compare loss magnitude statistically:
-    # the masked-out samples must contribute exactly zero -> losses match
-    # when the same per-sample draws are used. Use aux loss whose sampling
-    # is per-block and deterministic given key + shapes? Instead check that
-    # zeroing mask removes influence: changing padded *content* is a no-op.
+    aux_pad = elbo_aux(spec, params, key, padded)
+    r_pad = recon(spec, params, key, padded, ts, is_post=True)
+    np.testing.assert_allclose(loss_pad, loss_ref, rtol=1e-6)
+    np.testing.assert_allclose(aux_pad, aux_ref, rtol=1e-6)
+    np.testing.assert_allclose(r_pad["mu_50"][:6], r_ref["mu_50"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r_pad["z"][:6], r_ref["z"], rtol=1e-5, atol=1e-6)
+
+    # and the padded *content* is inert (changing it is a no-op on the loss)
     padded2 = dict(padded)
     padded2["observations"] = padded["observations"].at[6:].set(123.0)
     loss_pad2, _ = elbo_main(spec, params, key, padded2, ts)
-    assert np.allclose(loss_pad, loss_pad2, rtol=1e-6)
-    del loss_ref
+    np.testing.assert_allclose(loss_pad2, loss_ref, rtol=1e-6)
+
+
+def test_batch_size_independent_eval_draws():
+    """With explicit sample_id, a sample's recon is identical whether it is
+    evaluated in one big batch or in a 2-batch split (sample_normal_ps)."""
+    spec, _ = _tiny_cvs_spec()
+    params = init_params(jax.random.key(0), spec)
+    ts = jnp.arange(20.0)
+    key = jax.random.key(7)
+    big = _cvs_batch(6)
+    big["sample_id"] = jnp.arange(6, dtype=jnp.int32)
+    r_big = recon(spec, params, key, big, ts, is_post=True)
+    lo = {k: v[:3] for k, v in big.items()}
+    hi = {k: v[3:] for k, v in big.items()}
+    r_lo = recon(spec, params, key, lo, ts, is_post=True)
+    r_hi = recon(spec, params, key, hi, ts, is_post=True)
+    np.testing.assert_allclose(
+        np.concatenate([r_lo["z"], r_hi["z"]]), np.asarray(r_big["z"]), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_mask_parity_exact_same_shapes():
@@ -184,7 +209,7 @@ def test_eval_fns_run():
     batch = _cvs_batch(5)
     lm, la = evaluate_losses(params, jax.random.key(0), batch)
     assert np.isfinite(lm) and np.isfinite(la)
-    p = classify(params, jax.random.key(1), batch["observations"])
+    p = classify(params, jax.random.key(1), batch)
     assert set(p) == {"iext", "rtpr"}
     r = reconstruct(params, jax.random.key(2), batch, True)
     assert np.isfinite(float(r["l1"]))

@@ -112,6 +112,101 @@ def test_eval_figures_smoke(tmp_path):
     assert os.path.exists(p)
 
 
+def test_checkpoint_structure_mismatch_rejected(tmp_path):
+    """Same leaf shapes in different structural positions must NOT restore
+    silently — the first differing key path is named (VERDICT r1 weak #8)."""
+    tree = {"a": {"x": jnp.zeros(3)}, "b": {"y": jnp.ones(3)}}
+    path = str(tmp_path / "s.npz")
+    checkpoint.save(path, tree)
+    swapped = {"a": {"y": jnp.zeros(3)}, "b": {"x": jnp.ones(3)}}
+    with pytest.raises(ValueError, match="structure mismatch"):
+        checkpoint.restore(path, swapped)
+    # superset structure is rejected too
+    with pytest.raises(ValueError):
+        checkpoint.restore(path, {"a": {"x": jnp.zeros(3)}, "b": {"y": jnp.ones(3)}, "c": jnp.zeros(1)})
+
+
+def test_host_rng_tree_roundtrip():
+    rng = np.random.RandomState(7)
+    rng.rand(13)
+    snap = checkpoint.host_rng_tree(rng)
+    expected = rng.rand(5)
+    rng2 = np.random.RandomState(0)
+    checkpoint.apply_host_rng_tree(rng2, snap)
+    np.testing.assert_array_equal(rng2.rand(5), expected)
+
+
+def _tiny_cvs_training(tmp_path, num_epochs, checkpoint_every=0, resume=False):
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, init_params
+    from structured_latent_odes_tpu.train.driver import run_training_epochs
+    from structured_latent_odes_tpu.train.svi import make_eval_fns, make_train_step
+
+    T = 16
+    config = load_cvs_config()
+    config.seq_len = T
+    config.mini_batch_size = 4
+    config.num_epochs = num_epochs
+
+    def split(n, seed):
+        r = np.random.RandomState(seed)
+        return {
+            "observations": r.rand(n, 3, T).astype(np.float32),
+            "iext": (r.rand(n, 1) > 0.5).astype(np.float32),
+            "rtpr": (r.rand(n, 1) > 0.5).astype(np.float32),
+        }
+
+    splits = {"train": split(10, 0), "val": split(6, 1), "test": split(6, 2)}
+    spec = cvs_spec(config, n_time=T)
+    params = init_params(jax.random.key(0), spec)
+    ts = jnp.arange(float(T))
+    init_state, train_step, train_epoch = make_train_step(spec, ts, 1e-3, params)
+    state = init_state(jax.tree.map(jnp.copy, params), jax.random.key(1))
+    eval_fns = make_eval_fns(spec, ts)
+
+    def select_best(epoch, val, train_s, best, params_now, epoch_losses):
+        val_elbo = float(np.sum(val["post"].elbo))
+        if best["criterion"] >= val_elbo:
+            return {"params": params_now, "epoch": epoch, "criterion": val_elbo}
+        return best
+
+    state, best = run_training_epochs(
+        spec=spec,
+        state=state,
+        train_step=train_step,
+        eval_fns=eval_fns,
+        splits=splits,
+        config=config,
+        rng=np.random.RandomState(config.seed),
+        eval_key=jax.random.key(2),
+        select_best=select_best,
+        eval_train_stats=False,
+        train_epoch=train_epoch,
+        checkpoint_path=str(tmp_path / "resume_ckpt.npz"),
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    return state
+
+
+def test_resume_is_batch_exact(tmp_path):
+    """A run checkpointed at epoch 2 and resumed to epoch 4 must produce
+    bit-identical parameters to an uninterrupted 4-epoch run: the host
+    shuffle RNG, eval key, and device key are all restored, and per-sample
+    RNG keying removes any batch-composition dependence."""
+    state_full = _tiny_cvs_training(tmp_path, num_epochs=4, checkpoint_every=2)
+
+    _tiny_cvs_training(tmp_path, num_epochs=2, checkpoint_every=2)
+    state_resumed = _tiny_cvs_training(
+        tmp_path, num_epochs=4, checkpoint_every=0, resume=True
+    )
+
+    for a, b in zip(
+        jax.tree.leaves(state_full.params), jax.tree.leaves(state_resumed.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_prng_key_roundtrip(tmp_path):
     """Typed PRNG keys (SVIState.key) survive save/restore."""
     key = jax.random.key(42)
