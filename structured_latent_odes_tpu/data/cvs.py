@@ -147,7 +147,7 @@ def load_reference_pickles(data_dir: str) -> Dict[str, np.ndarray]:
     obs = torch.load(os.path.join(data_dir, "processed_data.pkl"), weights_only=False)
     train_params = torch.load(os.path.join(data_dir, "train_params_data.pkl"), weights_only=False)
     test_params = torch.load(os.path.join(data_dir, "test_params_data.pkl"), weights_only=False)
-    return {
+    out = {
         "train_obs": np.asarray(obs["train"], dtype=np.float32),
         "test_obs": np.asarray(obs["test"], dtype=np.float32),
         "train_iext": np.asarray(train_params["i_ext"], dtype=np.float32),
@@ -155,6 +155,12 @@ def load_reference_pickles(data_dir: str) -> Dict[str, np.ndarray]:
         "test_iext": np.asarray(test_params["i_ext"], dtype=np.float32),
         "test_rtpr": np.asarray(test_params["r_tpr_mod"], dtype=np.float32),
     }
+    norm_path = os.path.join(data_dir, "data_norm_params.pkl")
+    if os.path.exists(norm_path):
+        # prefer the authors' saved normalization constants (cvs_data.py:176)
+        norm = torch.load(norm_path, weights_only=False)
+        out["norm_params"] = {k: np.asarray(v, dtype=np.float32) for k, v in norm.items()}
+    return out
 
 
 def load_splits(config, reference_dir: str | None = None):
@@ -166,7 +172,7 @@ def load_splits(config, reference_dir: str | None = None):
     """
     if reference_dir is not None:
         d = load_reference_pickles(reference_dir)
-        norm_params = find_norm_params(d["train_obs"])
+        norm_params = d.get("norm_params") or find_norm_params(d["train_obs"])
     else:
         path = os.path.join(config.data_path, "cvs.npz")
         if not os.path.exists(path):

@@ -1,6 +1,8 @@
 """Data-layer golden tests (SURVEY.md §4: golden-value tests of the pipelines
 + scipy oracle for the CVS generator)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -125,3 +127,37 @@ def test_loader_static_shapes():
     assert fb["mask"].shape == (13,)
     ml = to_model_layout(split)
     assert ml["observations"].shape == (13, 8, 3)
+
+
+REFERENCE_CVS = "/root/reference/data/cvs"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE_CVS, "processed_data.pkl")),
+    reason="upstream CVS pickles not available",
+)
+def test_reference_pickle_path():
+    """The upstream torch pickles load through --reference-data-dir with the
+    reference's exact split/label semantics (ODE_dataset.py:19-38,50-51)."""
+    from structured_latent_odes_tpu.data import cvs
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.data.transforms import find_norm_params
+
+    config = load_cvs_config()
+    splits, norm_params = cvs.load_splits(config, reference_dir=REFERENCE_CVS)
+
+    assert splits["train"]["observations"].shape == (810, 86, 3)
+    assert splits["val"]["observations"].shape == (90, 86, 3)
+    assert splits["test"]["observations"].shape == (100, 86, 3)
+    for name in ("train", "val", "test"):
+        for lbl in ("iext", "rtpr"):
+            v = splits[name][lbl]
+            assert v.shape == (splits[name]["observations"].shape[0], 1)
+            assert set(np.unique(v)) <= {0.0, 1.0}
+    # authors' saved norm constants are preferred and consistent with a
+    # recomputation over the train pickle
+    recomputed = find_norm_params(
+        np.concatenate([splits["train"]["observations"], splits["val"]["observations"]])
+    )
+    for k in ("mean", "std", "min", "max"):
+        np.testing.assert_allclose(norm_params[k], recomputed[k], rtol=1e-5, atol=1e-6)
