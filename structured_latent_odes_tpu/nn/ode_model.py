@@ -41,8 +41,13 @@ class OdeModelSpec:
     solver: str = "midpoint"
     # 'semilinear' (parallel affine scan, default), 'semilinear_seq',
     # 'semilinear_pallas', 'generic' (sequential RK on the full RHS),
-    # 'adjoint' (generic forward + continuous adjoint backward).
+    # 'adjoint' (generic forward + continuous adjoint backward),
+    # 'adaptive' (dopri5, batchwide error control), 'adaptive_per_sample'
+    # (dopri5, per-trajectory step schedules) — the full torchdiffeq
+    # ``method`` menu (blackbox_ode.py:41-45) reachable from training.
     backend: str = "semilinear"
+    rtol: float = 1e-6
+    atol: float = 1e-8
 
 
 def ode_model_init(key: Array, spec: OdeModelSpec):
@@ -96,6 +101,17 @@ def dynamics_rhs(params, t: Array, x: Array, z: Array) -> Array:
     return a - d * x
 
 
+def dynamics_rhs_per_sample_time(params, t: Array, x: Array, z: Array) -> Array:
+    """RHS with PER-SAMPLE times ``t: (B, 1)`` aligned to ``z: (B, L)`` — the
+    signature odeint_adaptive_per_sample drives (each trajectory sits at its
+    own clock)."""
+    W, b = params["dyn_hidden"]["W"], params["dyn_hidden"]["b"]
+    h = jax.nn.relu(z @ W[1:] + b + t * W[0])  # (B, H)
+    a = jax.nn.sigmoid(h @ params["prod"]["W"] + params["prod"]["b"])
+    d = jax.nn.sigmoid(h @ params["degr"]["W"] + params["degr"]["b"])
+    return a - d * x
+
+
 def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
     """Integrate from x0(z) over ts. Returns (B, T, D) — batch-major layout
     matching the reference's ``sol.permute(1, 0, 2)`` (blackbox_ode.py:47)."""
@@ -117,5 +133,25 @@ def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
         # propagates gradients to them (closures would block differentiation)
         f = lambda t, x, args: dynamics_rhs(args[0], t, x, args[1])
         sol = odeint_adjoint(f, x0, ts, (params, z), method=spec.solver)
+        return jnp.moveaxis(sol, 0, 1)
+    if spec.backend in ("adaptive", "adaptive_per_sample"):
+        # trainable: adaptive forward + continuous-adjoint backward (the
+        # while_loop step control is not reverse-differentiable directly)
+        from structured_latent_odes_tpu.ode.adjoint import odeint_adaptive_adjoint
+        from structured_latent_odes_tpu.ode.solvers import odeint_adaptive_per_sample
+
+        f = lambda t, x, a: dynamics_rhs(a[0], t, x, a[1])
+        forward = None
+        if spec.backend == "adaptive_per_sample":
+            forward = lambda x0_, a: odeint_adaptive_per_sample(
+                lambda t, x: dynamics_rhs_per_sample_time(a[0], t, x, a[1]),
+                x0_,
+                ts,
+                rtol=spec.rtol,
+                atol=spec.atol,
+            )
+        sol = odeint_adaptive_adjoint(
+            f, x0, ts, (params, z), rtol=spec.rtol, atol=spec.atol, forward=forward
+        )
         return jnp.moveaxis(sol, 0, 1)
     raise ValueError(f"unknown ode backend {spec.backend!r}")

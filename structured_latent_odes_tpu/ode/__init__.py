@@ -11,5 +11,8 @@ from structured_latent_odes_tpu.ode.semilinear import (  # noqa: F401
     solve_semilinear,
     stage_time_grid,
 )
-from structured_latent_odes_tpu.ode.adjoint import odeint_adjoint  # noqa: F401
+from structured_latent_odes_tpu.ode.adjoint import (  # noqa: F401
+    odeint_adaptive_adjoint,
+    odeint_adjoint,
+)
 from structured_latent_odes_tpu.ode.tableaus import TABLEAUS, get_tableau  # noqa: F401

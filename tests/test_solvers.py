@@ -157,3 +157,62 @@ def test_chunked_remat_matches_plain():
     g_plain = jax.grad(lambda y: jnp.sum(odeint(f, y, ts) ** 2))(y0)
     g_chunk = jax.grad(lambda y: jnp.sum(odeint(f, y, ts, remat="chunked") ** 2))(y0)
     assert np.allclose(g_plain, g_chunk, atol=1e-5)
+
+
+def test_adaptive_backends_reachable_from_model_path():
+    """OdeModelSpec(backend='adaptive'/'adaptive_per_sample') solves and
+    differentiates through the SAME model surface training uses, agreeing
+    with the fixed-step generic path (reference odeint ``method`` menu,
+    blackbox_ode.py:41-45)."""
+    import jax
+
+    from structured_latent_odes_tpu.nn.ode_model import (
+        OdeModelSpec,
+        ode_model_init,
+        solve_ode,
+    )
+
+    ts = jnp.arange(0.0, 24.0)
+    params = ode_model_init(
+        jax.random.key(0), OdeModelSpec(latent_dim=6, ode_state_dim=4, ode_hidden_dim=8)
+    )
+    z = jax.random.normal(jax.random.key(1), (5, 6))
+
+    ref_spec = OdeModelSpec(6, 4, 8, solver="rk4", backend="generic")
+    sol_ref = solve_ode(ref_spec, params, z, ts)
+
+    for backend in ("adaptive", "adaptive_per_sample"):
+        spec = OdeModelSpec(6, 4, 8, backend=backend, rtol=1e-6, atol=1e-8)
+        sol = jax.jit(lambda p, z: solve_ode(spec, p, z, ts))(params, z)
+        assert sol.shape == sol_ref.shape
+        np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), rtol=5e-3, atol=5e-3)
+
+    # gradients flow (training-path requirement)
+    spec = OdeModelSpec(6, 4, 8, backend="adaptive")
+    g = jax.grad(lambda z: jnp.sum(solve_ode(spec, params, z, ts) ** 2))(z)
+    assert np.all(np.isfinite(np.asarray(g))) and float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_adaptive_backend_through_elbo():
+    """The full ELBO trains with an adaptive decoder backend."""
+    import jax
+
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, elbo_main, init_params
+
+    config = load_cvs_config()
+    config.seq_len = 16
+    config.ode_backend = "adaptive"
+    spec = cvs_spec(config, n_time=16)
+    params = init_params(jax.random.key(0), spec)
+    rng = np.random.RandomState(0)
+    batch = {
+        "observations": jnp.asarray(rng.rand(4, 3, 16), jnp.float32),
+        "iext": jnp.asarray((rng.rand(4, 1) > 0.5).astype(np.float32)),
+        "rtpr": jnp.asarray((rng.rand(4, 1) > 0.5).astype(np.float32)),
+        "mask": jnp.ones((4,), jnp.float32),
+    }
+    loss, mets = elbo_main(spec, params, jax.random.key(1), batch, jnp.arange(16.0))
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: elbo_main(spec, p, jax.random.key(1), batch, jnp.arange(16.0))[0])(params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
