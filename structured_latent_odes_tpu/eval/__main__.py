@@ -61,10 +61,22 @@ def main(argv=None):
                         args.results_dir, tag, ("iext", "rtpr"), ("Pa", "Pv", "fHR"),
                         f"agg_bands_{tag}.png",
                     )
+                    figures.latent_dynamics_panels(
+                        args.results_dir, tag, ("iext", "rtpr"),
+                        f"latent_dynamics_{tag}.png",
+                    )
                 elif args.dataset == "challenge":
                     figures.class_averaged_bands(
                         args.results_dir, tag, ("shedding", "symptoms"),
                         ("HR", "TEMP", "EDA", "ACC"), f"agg_bands_{tag}.png",
+                    )
+                    figures.per_subject_trajectories(
+                        args.results_dir, tag, ("shedding", "symptoms"),
+                        ("HR", "TEMP", "EDA", "ACC"), f"subjects_{tag}.png",
+                    )
+                    figures.latent_dynamics_panels(
+                        args.results_dir, tag, ("shedding", "symptoms"),
+                        f"latent_dynamics_{tag}.png",
                     )
                 else:
                     figures.synbio_dose_response(

@@ -219,3 +219,27 @@ def test_checkpoint_prng_key_roundtrip(tmp_path):
     )
     # usable for sampling
     jax.random.normal(restored["key"], (2,))
+
+
+def test_c22_figures_smoke(tmp_path):
+    """Latent-dynamics panels + per-subject renormalized trajectories render
+    from the artifact contract (cvs_eval_final / _subject_final notebooks)."""
+    out = str(tmp_path)
+    rng = np.random.RandomState(3)
+    y = rng.rand(6, 4, 9).astype(np.float32)
+    artifacts.dump_common(
+        out, y, np.arange(9.0),
+        {"shedding": (rng.rand(6) > 0.5).astype(np.float32),
+         "symptoms": (rng.rand(6) > 0.5).astype(np.float32)},
+    )
+    artifacts.dump_recon(out, "post", {
+        "mu_50": y, "mu_75": y + 0.1, "mu_25": y - 0.1,
+        "solution_xt": rng.rand(6, 9, 5).astype(np.float32), "z": y[:, 0],
+    })
+    from structured_latent_odes_tpu.eval import figures
+
+    p1 = figures.latent_dynamics_panels(out, "post", ("shedding", "symptoms"), "ld.png")
+    p2 = figures.per_subject_trajectories(
+        out, "post", ("shedding", "symptoms"), ("HR", "TEMP", "EDA", "ACC"), "subj.png"
+    )
+    assert os.path.exists(p1) and os.path.exists(p2)
