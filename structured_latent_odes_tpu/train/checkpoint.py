@@ -125,7 +125,7 @@ def load_metadata(path: str) -> dict:
         return json.load(f).get("metadata", {})
 
 
-def save_orbax(path: str, tree: Any) -> None:  # pragma: no cover - optional dep
+def save_orbax(path: str, tree: Any) -> None:
     """Orbax-backed checkpoint (async-capable, multi-host-aware)."""
     import orbax.checkpoint as ocp
 
@@ -133,7 +133,7 @@ def save_orbax(path: str, tree: Any) -> None:  # pragma: no cover - optional dep
     ckptr.save(os.path.abspath(path), tree, force=True)
 
 
-def restore_orbax(path: str, like: Any) -> Any:  # pragma: no cover - optional dep
+def restore_orbax(path: str, like: Any) -> Any:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()

@@ -243,3 +243,14 @@ def test_c22_figures_smoke(tmp_path):
         out, "post", ("shedding", "symptoms"), ("HR", "TEMP", "EDA", "ACC"), "subj.png"
     )
     assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The orbax-backed production checkpoint path round-trips a pytree."""
+    pytest.importorskip("orbax.checkpoint")
+    tree = {"w": jnp.arange(4.0), "nested": {"b": jnp.ones((2, 2))}}
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, tree)
+    restored = checkpoint.restore_orbax(path, tree)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
