@@ -56,6 +56,7 @@ def load_cvs_config() -> Config:
     c.learning_rate = 0.001
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
+    c.data_parallel = 0  # >1: shard the batch over an N-device mesh
     c.adjoint_solver = False  # discretize-then-optimize is exact on TPU
     c.ode_backend = "semilinear"
     c.solver = "midpoint"
@@ -93,6 +94,7 @@ def load_challenge_config() -> Config:
     c.learning_rate = 0.001
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
+    c.data_parallel = 0  # >1: shard the batch over an N-device mesh
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"
@@ -137,6 +139,7 @@ def load_proc_config() -> Config:
     c.learning_rate = 3e-4
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
+    c.data_parallel = 0  # >1: shard the batch over an N-device mesh
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"

@@ -4,6 +4,7 @@ from structured_latent_odes_tpu.parallel.mesh import (  # noqa: F401
     pad_batch_to_multiple,
     replicated,
     shard_batch,
+    shard_stacked,
 )
 from structured_latent_odes_tpu.parallel.train import (  # noqa: F401
     make_dp_eval_step,

@@ -42,9 +42,24 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the leading axis sharded over ``data``."""
-    sh = batch_sharded(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    """Device-put a host batch with the leading axis sharded over ``data``
+    (scalars — e.g. an ``aux_mult`` override — replicate)."""
+    out = {}
+    for k, v in batch.items():
+        spec = P("data") if np.ndim(v) >= 1 else P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def shard_stacked(mesh: Mesh, batches):
+    """Device-put a stacked epoch (n_batches, B, ...) with the BATCH axis
+    (axis 1) sharded over ``data`` — the scan axis stays unsharded; per-step
+    scalars like ``aux_mult`` (n_batches,) replicate."""
+    out = {}
+    for k, v in batches.items():
+        spec = P(None, "data") if np.ndim(v) >= 2 else P(None)
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
 
 
 def pad_batch_to_multiple(batch, multiple: int):

@@ -10,11 +10,11 @@ reference's (absent) NCCL/DataParallel layer (SURVEY.md §2, §5).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh
 
 from structured_latent_odes_tpu.models import elbo_aux, elbo_main
@@ -32,11 +32,14 @@ def make_dp_train_step(
     num_particles: int = 1,
     optimizer: str = "shared",
 ):
-    """Returns (init_state_fn, sharded jitted train_step).
+    """Returns (init_state_fn, sharded jitted train_step, train_epoch).
 
     train_step(state, batch) -> (state, metrics); batch arrays must be
     device-put with their leading axis sharded over ``data``
-    (parallel.mesh.shard_batch). The update itself is the SAME dual-loss step
+    (parallel.mesh.shard_batch). train_epoch scans a whole epoch of stacked
+    minibatches (leading (n_batches, B, ...) axes, B sharded over ``data`` —
+    parallel.mesh.shard_stacked) in ONE dispatch, the DP twin of
+    train.svi's epoch scan. The update itself is the SAME dual-loss step
     as the single-device path (train.svi.make_dual_step) — shardings
     propagate from operand placement and GSPMD inserts the ICI all-reduce
     for the replicated-param gradients.
@@ -50,7 +53,12 @@ def make_dp_train_step(
         return jax.device_put(state, repl)
 
     _step = make_dual_step(spec, ts, optim, num_particles)
-    return init_state, jax.jit(_step)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_epoch(state: SVIState, batches):
+        return jax.lax.scan(_step, state, batches)
+
+    return init_state, jax.jit(_step), train_epoch
 
 
 def make_dp_eval_step(spec: ModelSpec, ts, mesh: Mesh):

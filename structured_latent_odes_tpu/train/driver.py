@@ -130,6 +130,7 @@ def run_training_epochs(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    put_batch: Optional[Callable] = None,
 ):
     """The shared epoch loop. ``select_best`` implements each dataset's
     (different!) best-model policy; it receives and returns a dict with at
@@ -150,6 +151,7 @@ def run_training_epochs(
     """
     from structured_latent_odes_tpu.train import checkpoint as ckpt
 
+    put = put_batch or _device_batch
     best = {"params": state.params, "epoch": 0, "criterion": np.inf}
     batch_size = config.mini_batch_size
     t_start = time.time()
@@ -195,14 +197,14 @@ def run_training_epochs(
                 batches["aux_mult"] = np.full(
                     (batches["mask"].shape[0],), aux_mult, np.float32
                 )
-            state, mets = train_epoch(state, _device_batch(batches))
+            state, mets = train_epoch(state, put(batches))
             epoch_losses = np.stack(
                 [np.asarray(mets["loss_main"]), np.asarray(mets["loss_aux"])], axis=1
             ).tolist()
         else:
             epoch_losses = []
             for batch in iter_minibatches(splits["train"], batch_size, shuffle=True, rng=rng):
-                state, mets = train_step(state, _device_batch(batch))
+                state, mets = train_step(state, put(batch))
                 epoch_losses.append([float(mets["loss_main"]), float(mets["loss_aux"])])
 
         if eval_every > 1 and epoch % eval_every and epoch != config.num_epochs:

@@ -23,7 +23,8 @@ from structured_latent_odes_tpu.data.transforms import create_transforms
 from structured_latent_odes_tpu.models import challenge_spec, init_params
 from structured_latent_odes_tpu.train import artifacts, checkpoint
 from structured_latent_odes_tpu.train.driver import final_test_eval, run_training_epochs
-from structured_latent_odes_tpu.train.svi import make_eval_fns, make_train_step
+from structured_latent_odes_tpu.train.backend import make_training_backend
+from structured_latent_odes_tpu.train.svi import make_eval_fns
 from structured_latent_odes_tpu.utils import plotting, set_seed
 
 log = logging.getLogger("slode")
@@ -68,10 +69,8 @@ def train(config):
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     print(f"Model: {config.model} - with {n_params} parameters.")
 
-    init_state, train_step, train_epoch = make_train_step(
-        spec, times, config.learning_rate, params,
-        num_particles=config.get("num_particles", 1),
-        optimizer=config.get("optimizer", "shared"),
+    init_state, train_step, train_epoch, put_batch = make_training_backend(
+        spec, times, config, params
     )
     eval_fns = make_eval_fns(spec, times)
     state = init_state(params, k_train)
@@ -117,6 +116,7 @@ def train(config):
         on_epoch=on_epoch,
         eval_train_stats=config.get("eval_train_stats", True),
         train_epoch=train_epoch,
+        put_batch=put_batch,
         eval_every=config.get("eval_every", 1),
         checkpoint_path=os.path.join(out_dir, "train_state.npz"),
         checkpoint_every=config.get("checkpoint_every", 0),
@@ -200,6 +200,8 @@ def parse_args(argv=None):
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--optimizer", choices=["shared", "split"], default=None,
                    help="shared per-param Adam (Pyro parity) or two split Adams")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard the batch over an N-device jax.sharding mesh")
     p.add_argument("--split", type=int, default=None, help="fold 1..5")
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--ode-backend", default=None)

@@ -40,7 +40,7 @@ def test_dp_train_step_runs_on_mesh():
     assert mesh.shape["data"] == 8
     params = init_params(jax.random.key(0), spec)
     ts = jnp.arange(16.0)
-    init_state, train_step = make_dp_train_step(spec, ts, 1e-3, params, mesh)
+    init_state, train_step, _ = make_dp_train_step(spec, ts, 1e-3, params, mesh)
     state = init_state(params, jax.random.key(1))
     sb = shard_batch(mesh, batch)
     # batch visibly sharded across devices
@@ -59,7 +59,7 @@ def test_dp_matches_single_device_loss():
     ts = jnp.arange(16.0)
 
     mesh = make_mesh()
-    init_dp, step_dp = make_dp_train_step(spec, ts, 1e-3, params, mesh)
+    init_dp, step_dp, _ = make_dp_train_step(spec, ts, 1e-3, params, mesh)
     state_dp = init_dp(params, jax.random.key(7))
     s1, m1 = step_dp(state_dp, shard_batch(mesh, batch))
 
@@ -77,3 +77,67 @@ def test_pad_batch_to_multiple():
     out = pad_batch_to_multiple(batch, 8)
     assert out["observations"].shape[0] == 16
     assert out["mask"].sum() == 13
+
+
+def test_dp_epoch_scan_matches_single_device():
+    """The DP whole-epoch scan (batch axis sharded over the mesh) equals the
+    single-device epoch scan bit-for-bit given the same keys and data."""
+    from structured_latent_odes_tpu.parallel.mesh import shard_stacked
+
+    spec, _config, _b = _spec_and_batch()
+    params = init_params(jax.random.key(0), spec)
+    ts = jnp.arange(16.0)
+    n_batches, B = 3, 8
+    rng = np.random.RandomState(3)
+    stacked = {
+        "observations": rng.rand(n_batches, B, 3, 16).astype(np.float32),
+        "iext": (rng.rand(n_batches, B, 1) > 0.5).astype(np.float32),
+        "rtpr": (rng.rand(n_batches, B, 1) > 0.5).astype(np.float32),
+        "mask": np.ones((n_batches, B), dtype=np.float32),
+        "sample_id": np.tile(np.arange(B, dtype=np.int32), (n_batches, 1)),
+    }
+
+    from structured_latent_odes_tpu.train.svi import make_train_step
+
+    init_sd, _, epoch_sd = make_train_step(spec, ts, 1e-3, params)
+    state_sd = init_sd(jax.tree.map(jnp.copy, params), jax.random.key(2))
+    state_sd, mets_sd = epoch_sd(state_sd, {k: jnp.asarray(v) for k, v in stacked.items()})
+
+    mesh = make_mesh(n_data=8)
+    from structured_latent_odes_tpu.parallel.train import make_dp_train_step
+
+    init_dp, _, epoch_dp = make_dp_train_step(spec, ts, 1e-3, params, mesh)
+    state_dp = init_dp(jax.tree.map(jnp.copy, params), jax.random.key(2))
+    state_dp, mets_dp = epoch_dp(state_dp, shard_stacked(mesh, stacked))
+
+    np.testing.assert_allclose(
+        np.asarray(mets_dp["loss_main"]), np.asarray(mets_sd["loss_main"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(state_sd.params), jax.tree.leaves(state_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_cvs_driver_data_parallel(tmp_path):
+    """The CVS CLI trains on an 8-device data-parallel mesh end to end."""
+    import os
+
+    from structured_latent_odes_tpu.data import cvs
+    from structured_latent_odes_tpu.training_cvs import main
+
+    data_dir = str(tmp_path / "data") + os.sep
+    results_root = str(tmp_path / "results")
+    os.makedirs(results_root, exist_ok=True)
+    cvs.make_dataset(data_dir, data_size=30, seq_len=86, seed=0)
+
+    out = main(
+        [
+            "--num-epochs", "1",
+            "--data-path", data_dir,
+            "--results-root", results_root,
+            "--mini-batch-size", "16",
+            "--data-parallel", "8",
+            "--no-plot",
+            "--no-eval-train",
+        ]
+    )
+    assert np.isfinite(out["test_post"].l1)
