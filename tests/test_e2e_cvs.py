@@ -58,3 +58,55 @@ def test_cvs_driver_end_to_end(tmp_path):
     batch = {k: np.asarray(v) for k, v in splits["test"].items()}
     r = recon_fn(params, jax.random.key(0), batch, True)
     assert r["mu_50"].shape == batch["observations"].shape
+
+
+def test_proc_driver_end_to_end(tmp_path):
+    """Tiny proc (synbio) training through the real CLI main()."""
+    from structured_latent_odes_tpu.training_proc import main
+
+    results_root = str(tmp_path / "results")
+    os.makedirs(results_root, exist_ok=True)
+    out = main(
+        [
+            "--num-epochs", "1",
+            "--results-root", results_root,
+            "--mini-batch-size", "36",
+            "--no-plot",
+            "--no-eval-train",
+        ]
+    )
+    rd = os.path.join(results_root, "results_Mechanistic")
+    for f in (
+        "observations.npy", "times.npy", "mu_50_post.npy",
+        "mu_50_post_sample.npy", "best_model.npz",
+    ):
+        assert os.path.exists(os.path.join(rd, f)), f
+    assert np.isfinite(out["test_post"].l1)
+
+    from structured_latent_odes_tpu.eval import synbio_device_averaged_l1
+
+    assert np.isfinite(synbio_device_averaged_l1(rd, "post"))
+
+
+def test_challenge_driver_end_to_end(tmp_path):
+    """Tiny challenge training through the real CLI main()."""
+    from structured_latent_odes_tpu.training_challenge import main
+
+    results_root = str(tmp_path / "results")
+    os.makedirs(results_root, exist_ok=True)
+    out = main(
+        [
+            "--num-epochs", "1",
+            "--split", "5",
+            "--results-root", results_root,
+            "--no-plot",
+            "--no-eval-train",
+        ]
+    )
+    rd = os.path.join(results_root, "results_Mechanistic")
+    assert os.path.exists(os.path.join(rd, "mu_50_prior.npy"))
+    assert np.isfinite(out["test_post"].l1)
+
+    from structured_latent_odes_tpu.eval import challenge_outcome_averaged_l1
+
+    assert np.isfinite(challenge_outcome_averaged_l1(rd, "post"))
