@@ -59,6 +59,8 @@ def load_cvs_config() -> Config:
     c.data_parallel = 0  # >1: shard the batch over an N-device mesh
     c.adjoint_solver = False  # discretize-then-optimize is exact on TPU
     c.ode_backend = "semilinear"
+    c.ode_rtol = 1e-6  # adaptive backends only
+    c.ode_atol = 1e-8
     c.solver = "midpoint"
     c.constant_std = 1e-2
     c.quantile_diff = 0.475  # select from [0.25, 0.475]
@@ -98,6 +100,8 @@ def load_challenge_config() -> Config:
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"
+    c.ode_rtol = 1e-6  # adaptive backends only
+    c.ode_atol = 1e-8
     c.solver = "midpoint"
     c.constant_std = 1e-2
     c.quantile_diff = 0.475
@@ -143,6 +147,8 @@ def load_proc_config() -> Config:
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"
+    c.ode_rtol = 1e-6  # adaptive backends only
+    c.ode_atol = 1e-8
     c.solver = "midpoint"
     c.constant_std = 1e-2
     c.quantile_diff = 0.475

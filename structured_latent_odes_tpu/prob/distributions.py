@@ -55,8 +55,10 @@ def per_sample_keys(key: Array, sample_ids: Array) -> Array:
     """One independent PRNG key per sample: folds each sample's identity into
     the site key, so a sample's draw depends only on (site key, sample_id) —
     never on batch size, padding, or the other samples in the batch. This
-    makes padded-vs-unpadded batches bit-identical, eval metrics independent
-    of batch size, and checkpoint resume batch-exact."""
+    makes padded-vs-unpadded batches bit-identical and checkpoint resume
+    batch-exact; combined with per-split (not per-batch) eval keys
+    (train/driver.py eval_split), recon outputs and label metrics are also
+    independent of the eval batch size."""
     return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, sample_ids)
 
 

@@ -21,6 +21,12 @@ def _is_key(v: Any) -> bool:
     return hasattr(v, "dtype") and jax.dtypes.issubdtype(v.dtype, jax.dtypes.prng_key)
 
 
+def _paths_of(tree: Any):
+    """Key paths only — no leaf materialization (cheap on device trees)."""
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return ["/".join(str(p) for p in kp) for kp, _ in leaves_with_paths]
+
+
 def _flatten_with_paths(tree: Any):
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
     paths = ["/".join(str(p) for p in kp) for kp, _ in leaves_with_paths]
@@ -57,7 +63,7 @@ def restore(path: str, like: Any) -> Any:
     """
     z = np.load(path)
     leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
-    ref_paths, _ = _flatten_with_paths(like)
+    ref_paths = _paths_of(like)
     ref_leaves, treedef = jax.tree_util.tree_flatten(like)
     try:
         with open(path + ".json") as f:
@@ -71,11 +77,17 @@ def restore(path: str, like: Any) -> Any:
                     f"checkpoint structure mismatch at leaf {i}: stored path "
                     f"{sp!r} != expected {rp!r}"
                 )
-        if len(stored_paths) != len(ref_paths):
+        if len(stored_paths) > len(ref_paths):
             raise ValueError(
                 f"checkpoint has {len(stored_paths)} leaves, expected "
-                f"{len(ref_paths)}; first extra path: "
-                f"{(stored_paths + ref_paths)[min(len(stored_paths), len(ref_paths))]!r}"
+                f"{len(ref_paths)}; first unexpected stored path: "
+                f"{stored_paths[len(ref_paths)]!r}"
+            )
+        if len(stored_paths) < len(ref_paths):
+            raise ValueError(
+                f"checkpoint has {len(stored_paths)} leaves, expected "
+                f"{len(ref_paths)}; first missing path: "
+                f"{ref_paths[len(stored_paths)]!r}"
             )
     if len(leaves) != len(ref_leaves):
         raise ValueError(

@@ -55,8 +55,17 @@ def eval_split(
     collect_recon: bool = True,
 ) -> EvalStats:
     """The ``input_pred_stats`` equivalent: per-loss ELBO, classifier metrics,
-    recon outputs concatenated over the split."""
+    recon outputs concatenated over the split.
+
+    Site keys are split ONCE for the whole split (not per minibatch): combined
+    with per-sample RNG keying, every sample's draw depends only on
+    (split key, site, sample_id) — so recon outputs and label metrics are
+    identical for any eval ``batch_size`` (tested). The summed ELBO keeps the
+    reference's sum-of-batch-means accounting, which is batch-size-structured
+    by definition.
+    """
     evaluate_losses, classify, reconstruct = eval_fns
+    k1, k2, k3 = jax.random.split(key, 3)
     elbo = [0.0, 0.0]
     total_l1, size = 0.0, 0
     recon_acc: Dict[str, List[np.ndarray]] = {}
@@ -65,7 +74,6 @@ def eval_split(
     obs_acc: List[np.ndarray] = []
 
     for batch in iter_minibatches(split, batch_size, shuffle=False, pad=True):
-        key, k1, k2, k3 = jax.random.split(key, 4)
         b = _device_batch(batch)
         n = int(batch["mask"].sum())
         lm, la = evaluate_losses(params, k1, b)

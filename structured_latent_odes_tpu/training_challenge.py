@@ -205,6 +205,8 @@ def parse_args(argv=None):
     p.add_argument("--split", type=int, default=None, help="fold 1..5")
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--ode-backend", default=None)
+    p.add_argument("--ode-rtol", type=float, default=None)
+    p.add_argument("--ode-atol", type=float, default=None)
     p.add_argument("--data-path", default=None)
     p.add_argument("--results-root", default=".")
     p.add_argument("--no-plot", action="store_true")

@@ -179,6 +179,8 @@ def parse_args(argv=None):
     p.add_argument("--quantile-diff", type=float, default=None)
     p.add_argument("--solver", default=None)
     p.add_argument("--ode-backend", default=None)
+    p.add_argument("--ode-rtol", type=float, default=None)
+    p.add_argument("--ode-atol", type=float, default=None)
     p.add_argument("--data-path", default=None)
     p.add_argument("--reference-data-dir", default=None,
                    help="load the upstream torch pickles instead of generating")

@@ -254,3 +254,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     restored = checkpoint.restore_orbax(path, tree)
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_split_batch_size_invariant():
+    """eval_split recon outputs and label metrics are identical for any eval
+    batch size (per-split site keys + per-sample RNG ids)."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, init_params
+    from structured_latent_odes_tpu.train.driver import eval_split
+    from structured_latent_odes_tpu.train.svi import make_eval_fns
+
+    T = 16
+    config = load_cvs_config()
+    config.seq_len = T
+    spec = cvs_spec(config, n_time=T)
+    params = init_params(jax.random.key(0), spec)
+    r = np.random.RandomState(5)
+    split = {
+        "observations": r.rand(10, 3, T).astype(np.float32),
+        "iext": (r.rand(10, 1) > 0.5).astype(np.float32),
+        "rtpr": (r.rand(10, 1) > 0.5).astype(np.float32),
+    }
+    eval_fns = make_eval_fns(spec, jnp.arange(float(T)))
+    key = jax.random.key(9)
+    s_full = eval_split(spec, params, key, split, eval_fns, 10, is_post=True)
+    s_small = eval_split(spec, params, key, split, eval_fns, 4, is_post=True)
+    np.testing.assert_allclose(
+        s_small.recon["mu_50"], s_full.recon["mu_50"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(s_small.recon["z"], s_full.recon["z"], rtol=1e-5, atol=1e-6)
+    assert s_small.label_metrics == s_full.label_metrics
