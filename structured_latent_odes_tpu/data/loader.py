@@ -48,6 +48,22 @@ def pad_to(split: Split, size: int) -> Split:
     return out
 
 
+def random_crop(split: Split, crop_len: int, rng: Optional[np.random.RandomState] = None) -> Split:
+    """Per-sample random time crop to ``crop_len`` (the reference Dataset's
+    dormant ``random_start`` option, /root/reference/utils/ODE_dataset.py:44-47
+    — always constructed False by its drivers, kept for API parity).
+    Observations are (N, K, T) model layout."""
+    obs = split["observations"]
+    T = obs.shape[-1]
+    if crop_len >= T:
+        return split
+    starts = (rng if rng is not None else np.random).randint(0, T - crop_len + 1, size=obs.shape[0])
+    idx = starts[:, None, None] + np.arange(crop_len)[None, None, :]
+    out = dict(split)
+    out["observations"] = np.take_along_axis(obs, np.broadcast_to(idx, obs.shape[:2] + (crop_len,)), axis=2)
+    return out
+
+
 def iter_minibatches(
     split: Split,
     batch_size: int,
@@ -55,8 +71,11 @@ def iter_minibatches(
     shuffle: bool,
     rng: Optional[np.random.RandomState] = None,
     pad: bool = True,
+    crop_len: Optional[int] = None,
 ) -> Iterator[Split]:
     """Yield static-shape minibatches (last one padded+masked)."""
+    if crop_len is not None:
+        split = random_crop(split, crop_len, rng)
     n = split["observations"].shape[0]
     idx = np.arange(n)
     if shuffle:
@@ -80,10 +99,13 @@ def stacked_minibatches(
     *,
     shuffle: bool,
     rng: Optional[np.random.RandomState] = None,
+    crop_len: Optional[int] = None,
 ) -> Split:
     """The whole epoch as ONE stacked array dict with leading
     (n_batches, batch_size, ...) axes + per-sample mask — consumed by
     ``train_epoch``'s on-device lax.scan (one host dispatch per epoch)."""
+    if crop_len is not None:
+        split = random_crop(split, crop_len, rng)
     n = split["observations"].shape[0]
     idx = np.arange(n)
     if shuffle:

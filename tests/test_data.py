@@ -161,3 +161,24 @@ def test_reference_pickle_path():
     )
     for k in ("mean", "std", "min", "max"):
         np.testing.assert_allclose(norm_params[k], recomputed[k], rtol=1e-5, atol=1e-6)
+
+
+def test_random_crop_loader_option():
+    """random_start parity: per-sample random crops keep shapes static and
+    content window-consistent (ODE_dataset.py:44-47)."""
+    from structured_latent_odes_tpu.data.loader import iter_minibatches, random_crop
+
+    rng = np.random.RandomState(0)
+    obs = np.arange(5 * 2 * 12, dtype=np.float32).reshape(5, 2, 12)
+    split = {"observations": obs, "iext": np.zeros((5, 1), np.float32)}
+    cropped = random_crop(split, 7, np.random.RandomState(1))
+    assert cropped["observations"].shape == (5, 2, 7)
+    for i in range(5):
+        row = cropped["observations"][i, 0]
+        # contiguous window of the original timeline
+        np.testing.assert_array_equal(row, np.arange(row[0], row[0] + 7))
+    batches = list(iter_minibatches(split, 2, shuffle=True, rng=rng, crop_len=7))
+    assert all(b["observations"].shape[-1] == 7 for b in batches)
+    # no-op when crop_len >= T
+    same = random_crop(split, 12)
+    np.testing.assert_array_equal(same["observations"], obs)
