@@ -70,6 +70,17 @@ def bench_tpu(batch=128, n_time=86, iters=30, warmup=3):
     jax.block_until_ready(mets["loss_main"])
     steps_per_sec = reps * n_batches / (time.perf_counter() - t0)
 
+    # chunked dispatch: K steps per host round trip — the middle ground
+    # between per-step dispatch (latency-bound) and whole-epoch scan
+    stacked8 = {k: v[:8] for k, v in stacked.items()}
+    state, mets = train_epoch(state, stacked8)
+    jax.block_until_ready(mets["loss_main"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, mets = train_epoch(state, stacked8)
+    jax.block_until_ready(mets["loss_main"])
+    chunk8_sps = 10 * 8 / (time.perf_counter() - t0)
+
     # secondary: batched ODE solves/sec (trajectories integrated per second)
     B2 = 4096
     ode_spec = spec.decoder.ode
@@ -104,6 +115,7 @@ def bench_tpu(batch=128, n_time=86, iters=30, warmup=3):
     device = str(jax.devices()[0])
     extra = {
         "per_dispatch_steps_per_sec": round(per_step_sps, 3),
+        "chunked8_dispatch_steps_per_sec": round(chunk8_sps, 3),
         "ode_solves_per_sec_per_chip": round(solves_per_sec, 1),
         "flops_per_step_xla": flops_per_step,
         "mfu_vs_v5e_bf16_peak": round(mfu, 6) if mfu else None,
