@@ -17,6 +17,7 @@ import json
 from structured_latent_odes_tpu.eval.metrics import (
     challenge_outcome_averaged_l1,
     cvs_class_averaged_l1,
+    cvs_ground_truth_l1,
     synbio_device_averaged_l1,
     synbio_heldout_l1,
 )
@@ -35,6 +36,9 @@ def main(argv=None):
     p.add_argument("results_dir")
     p.add_argument("--json", action="store_true", help="print one JSON line")
     p.add_argument("--figures", action="store_true", help="render aggregate figures")
+    p.add_argument("--gt", default=None, metavar="CVS_NPZ",
+                   help="cvs only: also score vs the NOISE-FREE ground-truth "
+                        "test trajectories in the given cvs.npz")
     args = p.parse_args(argv)
 
     name, fn = METRICS[args.dataset]
@@ -85,6 +89,12 @@ def main(argv=None):
                     )
             except (FileNotFoundError, KeyError) as e:
                 print(f"[skip figures {tag}] {e}")
+    if args.gt and args.dataset == "cvs":
+        for tag in ("post", "prior"):
+            try:
+                out[f"gt_{tag}"] = cvs_ground_truth_l1(args.results_dir, tag, args.gt)
+            except (FileNotFoundError, KeyError, ValueError) as e:
+                print(f"[skip gt {tag}] {e}")
     if args.json:
         print(json.dumps({"dataset": args.dataset, "metric": name, **out}))
     else:

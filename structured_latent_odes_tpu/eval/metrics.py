@@ -115,3 +115,34 @@ def synbio_heldout_l1(results_dir: str, tag: str) -> float:
             y_av = a["y"][idx].mean(0)
             l1 += K * np.abs(y_av - mu_av).sum()
     return float(l1 / (len(unique_treat) * K * devices.shape[1]))
+
+
+def cvs_ground_truth_l1(results_dir: str, tag: str, dataset_npz: str) -> float:
+    """Class-averaged L1 of predictions vs the NOISE-FREE ground-truth test
+    observations.
+
+    The reference generator persists ``gt_test_data.pkl`` explicitly for
+    exact-recovery checks but no script in the reference ever consumes it
+    (SURVEY.md §4.3); this closes that loop. ``dataset_npz`` is our
+    generator's ``cvs.npz`` (fields ``gt_test_obs`` + ``norm_*``); the
+    ground truth is normalized with the dataset's own saved params — the
+    same transform the dumped predictions live in.
+    """
+    from structured_latent_odes_tpu.data.transforms import NormalizeToUnitSegment
+
+    a = load_artifacts(results_dir, tag)
+    z = np.load(dataset_npz)
+    norm = NormalizeToUnitSegment({k[len("norm_"):]: z[k] for k in z.files if k.startswith("norm_")})
+    gt = norm(z["gt_test_obs"])  # (N, T, K) -> normalized
+    gt = np.swapaxes(gt, 1, 2)  # model layout (N, K, T)
+    if gt.shape != a["mu_50"].shape:
+        raise ValueError(f"gt shape {gt.shape} != predictions {a['mu_50'].shape}")
+    labels = np.stack([a["iext"].reshape(-1), a["rtpr"].reshape(-1)], axis=1)
+    combos = np.unique(labels, axis=0)
+    K = gt.shape[1]
+    l1 = 0.0
+    for combo in combos:
+        loc = np.all(labels == combo, axis=1)
+        for c in range(K):
+            l1 += np.abs(a["mu_50"][loc].mean(0)[c] - gt[loc].mean(0)[c]).sum()
+    return float(l1 / (K * len(combos)))

@@ -284,3 +284,33 @@ def test_eval_split_batch_size_invariant():
     )
     np.testing.assert_allclose(s_small.recon["z"], s_full.recon["z"], rtol=1e-5, atol=1e-6)
     assert s_small.label_metrics == s_full.label_metrics
+
+
+def test_cvs_ground_truth_metric(tmp_path):
+    """Exact recovery of the noise-free ground truth scores zero; the metric
+    consumes the generator's gt_test_obs (which the reference saves but never
+    uses, SURVEY.md §4.3)."""
+    from structured_latent_odes_tpu.data.transforms import NormalizeToUnitSegment
+    from structured_latent_odes_tpu.eval.metrics import cvs_ground_truth_l1
+
+    rng = np.random.RandomState(4)
+    gt = rng.rand(6, 9, 3).astype(np.float32)  # (N, T, K)
+    norm_params = {
+        "mean": gt.mean((0, 1)), "std": gt.std((0, 1)),
+        "min": gt.min((0, 1)), "max": gt.max((0, 1)),
+    }
+    npz = str(tmp_path / "cvs.npz")
+    np.savez(npz, gt_test_obs=gt, **{f"norm_{k}": v for k, v in norm_params.items()})
+
+    out = str(tmp_path)
+    gt_model = np.swapaxes(NormalizeToUnitSegment(norm_params)(gt), 1, 2)
+    artifacts.dump_common(
+        out, gt_model, np.arange(9.0),
+        {"iext": (rng.rand(6) > 0.5).astype(np.float32),
+         "rtpr": (rng.rand(6) > 0.5).astype(np.float32)},
+    )
+    artifacts.dump_recon(out, "post", {
+        "mu_50": gt_model, "mu_75": gt_model, "mu_25": gt_model,
+        "solution_xt": gt_model, "z": gt_model[:, 0],
+    })
+    assert cvs_ground_truth_l1(out, "post", npz) == 0.0
