@@ -139,6 +139,7 @@ def run_training_epochs(
     checkpoint_every: int = 0,
     resume: bool = False,
     put_batch: Optional[Callable] = None,
+    profile_dir: Optional[str] = None,
 ):
     """The shared epoch loop. ``select_best`` implements each dataset's
     (different!) best-model policy; it receives and returns a dict with at
@@ -197,6 +198,13 @@ def run_training_epochs(
 
     for epoch in range(start_epoch, config.num_epochs + 1):
         aux_mult = _epoch_aux_mult(epoch)
+        if profile_dir and epoch == start_epoch + 1:
+            # trace the SECOND epoch (first is compile-dominated)
+            from structured_latent_odes_tpu.utils.profiling import trace as _trace
+            profile_ctx = _trace(profile_dir)
+        else:
+            import contextlib
+            profile_ctx = contextlib.nullcontext()
         if train_epoch is not None:
             batches = stacked_minibatches(
                 splits["train"], batch_size, shuffle=True, rng=rng
@@ -205,7 +213,9 @@ def run_training_epochs(
                 batches["aux_mult"] = np.full(
                     (batches["mask"].shape[0],), aux_mult, np.float32
                 )
-            state, mets = train_epoch(state, put(batches))
+            with profile_ctx:
+                state, mets = train_epoch(state, put(batches))
+                jax.block_until_ready(mets["loss_main"])
             epoch_losses = np.stack(
                 [np.asarray(mets["loss_main"]), np.asarray(mets["loss_aux"])], axis=1
             ).tolist()

@@ -108,6 +108,7 @@ def train(config):
         checkpoint_path=os.path.join(out_dir, "train_state.npz"),
         checkpoint_every=config.get("checkpoint_every", 0),
         resume=config.get("resume", False),
+        profile_dir=config.get("profile_dir"),
     )
 
     # final test on best params (post + prior), with artifact dump
@@ -190,6 +191,8 @@ def parse_args(argv=None):
                    help="evaluate val/train stats every N epochs (faster)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="persist full training state every N epochs")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of one epoch")
     p.add_argument("--resume", action="store_true",
                    help="resume from results_<Model>/train_state.npz")
     p.add_argument("--no-eval-train", action="store_true",
@@ -216,6 +219,7 @@ def main(argv=None):
     config.aux_anneal_epochs = args.aux_anneal_epochs
     config.checkpoint_every = args.checkpoint_every
     config.resume = args.resume
+    config.profile_dir = args.profile_dir
 
     out_dir = artifacts.results_dir(config.model, config.results_root)
     setup_logging(out_dir)
