@@ -17,10 +17,15 @@ run_eval cvs runs/cvs46 --gt datasets/cvs/cvs.npz
 
 # The anchor-beating run on the upstream authors' own pickles:
 # class-averaged L1 post/prior 0.427/0.451 vs published 0.520/0.522.
-python -m structured_latent_odes_tpu.training_cvs --num-epochs 1000 \
-  --aux-loss-multiplier 460 --reference-data-dir /root/reference/data/cvs \
-  --no-eval-train --results-root runs/cvs460_ref
-run_eval cvs runs/cvs460_ref
+# (Guarded: only this run needs the external reference checkout.)
+if [ -d /root/reference/data/cvs ]; then
+  python -m structured_latent_odes_tpu.training_cvs --num-epochs 1000 \
+    --aux-loss-multiplier 460 --reference-data-dir /root/reference/data/cvs \
+    --no-eval-train --results-root runs/cvs460_ref
+  run_eval cvs runs/cvs460_ref
+else
+  echo "skipping cvs460_ref: /root/reference/data/cvs not present"
+fi
 
 # ---- Challenge -------------------------------------------------------------
 # Fold 5 annealed recipe (beats both anchors 38.62/38.97).

@@ -38,21 +38,25 @@ def load_artifacts(results_dir: str, tag: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _class_averaged_l1(pred: np.ndarray, target: np.ndarray, labels: np.ndarray) -> float:
+    """Mean over label combos x channels of the summed |avg trajectory error|
+    (the cvs_eval_final.ipynb cells 6/7 accumulation)."""
+    combos = np.unique(labels, axis=0)
+    K = target.shape[1]
+    l1 = 0.0
+    for combo in combos:
+        loc = np.all(labels == combo, axis=1)
+        for c in range(K):
+            l1 += np.abs(pred[loc].mean(0)[c] - target[loc].mean(0)[c]).sum()
+    return float(l1 / (K * len(combos)))
+
+
 def cvs_class_averaged_l1(results_dir: str, tag: str) -> float:
     """Mean over (iext, rtpr) class combos x channels of the summed |avg
     trajectory error| (cvs_eval_final.ipynb cells 6/7)."""
     a = load_artifacts(results_dir, tag)
     labels = np.stack([a["iext"].reshape(-1), a["rtpr"].reshape(-1)], axis=1)
-    combos = np.unique(labels, axis=0)
-    K = a["y"].shape[1]
-    l1 = 0.0
-    for combo in combos:
-        loc = np.all(labels == combo, axis=1)
-        for c in range(K):
-            av_mu = a["mu_50"][loc].mean(0)[c]
-            av_y = a["y"][loc].mean(0)[c]
-            l1 += np.abs(av_mu - av_y).sum()
-    return float(l1 / (K * len(combos)))
+    return _class_averaged_l1(a["mu_50"], a["y"], labels)
 
 
 def challenge_outcome_averaged_l1(results_dir: str, tag: str) -> float:
@@ -137,12 +141,17 @@ def cvs_ground_truth_l1(results_dir: str, tag: str, dataset_npz: str) -> float:
     gt = np.swapaxes(gt, 1, 2)  # model layout (N, K, T)
     if gt.shape != a["mu_50"].shape:
         raise ValueError(f"gt shape {gt.shape} != predictions {a['mu_50'].shape}")
+    # Row-alignment fingerprint: the dumped observations.npy must BE this
+    # npz's normalized noisy test set (same rows, same order). Shapes alone
+    # can't catch e.g. scoring a --reference-data-dir run against our own
+    # generator's ground truth (both test sets are (100, 3, 86)).
+    noisy = np.swapaxes(norm(z["test_obs"]), 1, 2)
+    if not np.allclose(noisy, a["y"], atol=1e-5):
+        raise ValueError(
+            "observations.npy does not match the noisy test set in "
+            f"{dataset_npz}: the run was trained on different data (e.g. the "
+            "upstream reference pickles) — its rows do not align with this "
+            "npz's ground truth, so the exact-recovery metric is undefined"
+        )
     labels = np.stack([a["iext"].reshape(-1), a["rtpr"].reshape(-1)], axis=1)
-    combos = np.unique(labels, axis=0)
-    K = gt.shape[1]
-    l1 = 0.0
-    for combo in combos:
-        loc = np.all(labels == combo, axis=1)
-        for c in range(K):
-            l1 += np.abs(a["mu_50"][loc].mean(0)[c] - gt[loc].mean(0)[c]).sum()
-    return float(l1 / (K * len(combos)))
+    return _class_averaged_l1(a["mu_50"], gt, labels)

@@ -196,34 +196,36 @@ def run_training_epochs(
         frac = min(1.0, epoch / anneal)
         return float(config.aux_loss_multiplier * (1 - frac) + final * frac)
 
+    # trace the SECOND epoch (first is compile-dominated) — or the only
+    # epoch when the run is too short to have a second one
+    trace_epoch = min(start_epoch + 1, config.num_epochs) if profile_dir else None
     for epoch in range(start_epoch, config.num_epochs + 1):
         aux_mult = _epoch_aux_mult(epoch)
-        if profile_dir and epoch == start_epoch + 1:
-            # trace the SECOND epoch (first is compile-dominated)
+        if epoch == trace_epoch:
             from structured_latent_odes_tpu.utils.profiling import trace as _trace
             profile_ctx = _trace(profile_dir)
         else:
             import contextlib
             profile_ctx = contextlib.nullcontext()
-        if train_epoch is not None:
-            batches = stacked_minibatches(
-                splits["train"], batch_size, shuffle=True, rng=rng
-            )
-            if aux_mult is not None:
-                batches["aux_mult"] = np.full(
-                    (batches["mask"].shape[0],), aux_mult, np.float32
+        with profile_ctx:
+            if train_epoch is not None:
+                batches = stacked_minibatches(
+                    splits["train"], batch_size, shuffle=True, rng=rng
                 )
-            with profile_ctx:
+                if aux_mult is not None:
+                    batches["aux_mult"] = np.full(
+                        (batches["mask"].shape[0],), aux_mult, np.float32
+                    )
                 state, mets = train_epoch(state, put(batches))
                 jax.block_until_ready(mets["loss_main"])
-            epoch_losses = np.stack(
-                [np.asarray(mets["loss_main"]), np.asarray(mets["loss_aux"])], axis=1
-            ).tolist()
-        else:
-            epoch_losses = []
-            for batch in iter_minibatches(splits["train"], batch_size, shuffle=True, rng=rng):
-                state, mets = train_step(state, put(batch))
-                epoch_losses.append([float(mets["loss_main"]), float(mets["loss_aux"])])
+                epoch_losses = np.stack(
+                    [np.asarray(mets["loss_main"]), np.asarray(mets["loss_aux"])], axis=1
+                ).tolist()
+            else:
+                epoch_losses = []
+                for batch in iter_minibatches(splits["train"], batch_size, shuffle=True, rng=rng):
+                    state, mets = train_step(state, put(batch))
+                    epoch_losses.append([float(mets["loss_main"]), float(mets["loss_aux"])])
 
         if eval_every > 1 and epoch % eval_every and epoch != config.num_epochs:
             # fast path: skip the val/train statistics (and best-model

@@ -94,6 +94,7 @@ def test_challenge_driver_end_to_end(tmp_path):
 
     results_root = str(tmp_path / "results")
     os.makedirs(results_root, exist_ok=True)
+    trace_dir = str(tmp_path / "trace")
     out = main(
         [
             "--num-epochs", "1",
@@ -101,11 +102,16 @@ def test_challenge_driver_end_to_end(tmp_path):
             "--results-root", results_root,
             "--no-plot",
             "--no-eval-train",
+            "--profile-dir", trace_dir,
         ]
     )
     rd = os.path.join(results_root, "results_Mechanistic")
     assert os.path.exists(os.path.join(rd, "mu_50_prior.npy"))
     assert np.isfinite(out["test_post"].l1)
+
+    # --profile-dir captured a device trace even on a 1-epoch run (the
+    # trace epoch clamps to num_epochs when there is no second epoch)
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
 
     from structured_latent_odes_tpu.eval import challenge_outcome_averaged_l1
 

@@ -300,7 +300,10 @@ def test_cvs_ground_truth_metric(tmp_path):
         "min": gt.min((0, 1)), "max": gt.max((0, 1)),
     }
     npz = str(tmp_path / "cvs.npz")
-    np.savez(npz, gt_test_obs=gt, **{f"norm_{k}": v for k, v in norm_params.items()})
+    np.savez(
+        npz, gt_test_obs=gt, test_obs=gt,
+        **{f"norm_{k}": v for k, v in norm_params.items()},
+    )
 
     out = str(tmp_path)
     gt_model = np.swapaxes(NormalizeToUnitSegment(norm_params)(gt), 1, 2)
@@ -314,3 +317,14 @@ def test_cvs_ground_truth_metric(tmp_path):
         "solution_xt": gt_model, "z": gt_model[:, 0],
     })
     assert cvs_ground_truth_l1(out, "post", npz) == 0.0
+
+    # Misaligned data (a run trained on DIFFERENT data than this npz, e.g.
+    # the upstream pickles) must be rejected — shapes alone can't catch it.
+    other = rng.rand(6, 9, 3).astype(np.float32)
+    npz2 = str(tmp_path / "cvs2.npz")
+    np.savez(
+        npz2, gt_test_obs=gt, test_obs=other,
+        **{f"norm_{k}": v for k, v in norm_params.items()},
+    )
+    with pytest.raises(ValueError, match="different data"):
+        cvs_ground_truth_l1(out, "post", npz2)
