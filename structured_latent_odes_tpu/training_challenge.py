@@ -206,6 +206,8 @@ def parse_args(argv=None):
     p.add_argument("--split", type=int, default=None, help="fold 1..5")
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--ode-backend", default=None)
+    p.add_argument("--num-particles", type=int, default=None,
+                   help="ELBO particles averaged per step (Trace_ELBO(num_particles))")
     p.add_argument("--ode-rtol", type=float, default=None)
     p.add_argument("--ode-atol", type=float, default=None)
     p.add_argument("--data-path", default=None)

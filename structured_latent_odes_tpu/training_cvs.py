@@ -178,6 +178,8 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the batch over an N-device jax.sharding mesh")
     p.add_argument("--quantile-diff", type=float, default=None)
+    p.add_argument("--num-particles", type=int, default=None,
+                   help="ELBO particles averaged per step (Trace_ELBO(num_particles))")
     p.add_argument("--solver", default=None)
     p.add_argument("--ode-backend", default=None)
     p.add_argument("--ode-rtol", type=float, default=None)
