@@ -59,6 +59,33 @@ def test_cvs_driver_end_to_end(tmp_path):
     r = recon_fn(params, jax.random.key(0), batch, True)
     assert r["mu_50"].shape == batch["observations"].shape
 
+    # and through the serving CLI itself (needs the default data path, so
+    # point it at ours via a config monkeypatch-free env: --dataset cvs reads
+    # load_cvs_config() — use the library path above for custom configs; the
+    # CLI is exercised with the generated data by overriding data_path)
+    from structured_latent_odes_tpu import serve
+    from structured_latent_odes_tpu.data import configs
+
+    orig = configs.LOADERS["cvs"]
+
+    def _patched():
+        c = orig()
+        c.data_path = data_dir
+        return c
+
+    configs.LOADERS["cvs"] = _patched
+    try:
+        out_npz = str(tmp_path / "preds.npz")
+        serve.main([
+            "--dataset", "cvs", "--checkpoint", os.path.join(rd, "best_model.npz"),
+            "--output", out_npz, "--classify",
+        ])
+        z = np.load(out_npz)
+        assert z["mu_50"].shape == batch["observations"].shape
+        assert "pred_iext" in z and np.isfinite(z["l1"])
+    finally:
+        configs.LOADERS["cvs"] = orig
+
 
 def test_proc_driver_end_to_end(tmp_path):
     """Tiny proc (synbio) training through the real CLI main()."""
