@@ -5,4 +5,5 @@ from structured_latent_odes_tpu.eval.metrics import (  # noqa: F401
     load_artifacts,
     synbio_device_averaged_l1,
     synbio_heldout_l1,
+    synbio_heldout_l1_per_condition,
 )

@@ -46,6 +46,16 @@ def main(argv=None):
     for tag in ("post", "prior"):
         try:
             out[tag] = fn(args.results_dir, tag)
+            if args.dataset == "proc-heldout":
+                # the notebook's alternate per-condition aggregation
+                # (sbio_eval_heldout_final.ipynb cell 8: 11.747)
+                from structured_latent_odes_tpu.eval.metrics import (
+                    synbio_heldout_l1_per_condition,
+                )
+
+                out[f"{tag}_per_condition"] = synbio_heldout_l1_per_condition(
+                    args.results_dir, tag
+                )
         except FileNotFoundError as e:
             out[tag] = None
             print(f"[skip {tag}] missing artifact: {e.filename}")

@@ -121,6 +121,16 @@ def synbio_heldout_l1(results_dir: str, tag: str) -> float:
     return float(l1 / (len(unique_treat) * K * devices.shape[1]))
 
 
+def synbio_heldout_l1_per_condition(results_dir: str, tag: str) -> float:
+    """The heldout notebook's ALTERNATE aggregation (sbio_eval_heldout_final
+    .ipynb cell 8 output: 11.747): identical error accumulation to cell 7 but
+    normalized by the 2 input conditions (C6/C12) instead of the 4 output
+    channels — exactly ``cell7 * K / 2``."""
+    a = load_artifacts(results_dir, tag)
+    K = a["y"].shape[1]
+    return synbio_heldout_l1(results_dir, tag) * K / 2.0
+
+
 def cvs_ground_truth_l1(results_dir: str, tag: str, dataset_npz: str) -> float:
     """Class-averaged L1 of predictions vs the NOISE-FREE ground-truth test
     observations.

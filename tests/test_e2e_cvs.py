@@ -110,9 +110,21 @@ def test_proc_driver_end_to_end(tmp_path):
         assert os.path.exists(os.path.join(rd, f)), f
     assert np.isfinite(out["test_post"].l1)
 
-    from structured_latent_odes_tpu.eval import synbio_device_averaged_l1
+    from structured_latent_odes_tpu.eval import (
+        synbio_device_averaged_l1,
+        synbio_heldout_l1,
+        synbio_heldout_l1_per_condition,
+    )
 
     assert np.isfinite(synbio_device_averaged_l1(rd, "post"))
+    # cell-8 alternate aggregation = cell-7 value renormalized by the 2
+    # conditions instead of K channels
+    K = np.load(os.path.join(rd, "observations.npy")).shape[1]
+    np.testing.assert_allclose(
+        synbio_heldout_l1_per_condition(rd, "post"),
+        synbio_heldout_l1(rd, "post") * K / 2.0,
+        rtol=1e-6,
+    )
 
 
 def test_challenge_driver_end_to_end(tmp_path):
