@@ -39,7 +39,13 @@ python -m structured_latent_odes_tpu.training_challenge --split 5 --num-epochs 5
 run_eval challenge runs/challenge46
 
 # ---- Synbio (proc) ----------------------------------------------------------
-# Split 1 annealed recipe: post 5.16 / prior 15.54 vs anchors 6.02/16.52.
+# Split 1, the reference's UNMODIFIED default configuration (mult 46):
+# post 4.03 / prior 15.85 vs anchors 6.02/16.52 — both beaten.
+python -m structured_latent_odes_tpu.training_proc --num-epochs 2500 \
+  --eval-every 4 --no-eval-train --results-root runs/proc46
+run_eval proc runs/proc46
+# Annealed alternative (slightly better prior, better label accuracy):
+# post 5.16 / prior 15.54.
 python -m structured_latent_odes_tpu.training_proc --num-epochs 2500 \
   --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1250 \
   --eval-every 4 --no-eval-train --results-root runs/proc_anneal
