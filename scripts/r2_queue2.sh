@@ -21,6 +21,24 @@ for v in "s13 --seed 13" "long --aux-anneal-epochs 1500"; do
     | tee "runs/r2/$name.eval.json"
 done
 
+# Heldout h22 zero-shot: shared@460 scored 6.04 vs anchor 5.874 (round-1
+# split@460: 5.075). Variants: the reference default mult (46, which won on
+# proc folds) and the annealed schedule.
+echo "=== proc heldout default 46 shared ==="
+python -m structured_latent_odes_tpu.training_proc --num-epochs 2500 \
+  --heldout R33S34_Y81C76 --eval-every 4 --no-eval-train --no-plot \
+  --results-root runs/r2/proc_heldout_46 > runs/r2/proc_heldout_46.log 2>&1
+python -m structured_latent_odes_tpu.eval proc-heldout runs/r2/proc_heldout_46/results_Mechanistic --json \
+  | tee runs/r2/proc_heldout_46.eval.json
+
+echo "=== proc heldout annealed 460->46 shared ==="
+python -m structured_latent_odes_tpu.training_proc --num-epochs 2500 \
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1250 \
+  --heldout R33S34_Y81C76 --eval-every 4 --no-eval-train --no-plot \
+  --results-root runs/r2/proc_heldout_anneal > runs/r2/proc_heldout_anneal.log 2>&1
+python -m structured_latent_odes_tpu.eval proc-heldout runs/r2/proc_heldout_anneal/results_Mechanistic --json \
+  | tee runs/r2/proc_heldout_anneal.eval.json
+
 echo "=== cvs460 self-generated + ground-truth exact recovery ==="
 python -m structured_latent_odes_tpu.training_cvs --num-epochs 1000 \
   --aux-loss-multiplier 460 --data-path datasets/cvs/ \
