@@ -21,6 +21,18 @@ for v in "s13 --seed 13" "long --aux-anneal-epochs 1500"; do
     | tee "runs/r2/$name.eval.json"
 done
 
+# Challenge default config (500 ep full batch) seed spread: is the published
+# prior 38.97 inside run variance? (seed 12 run scored prior 135)
+for seed in 13 14 15; do
+  name=chal5_46_s$seed
+  echo "=== challenge fold5 default 46 shared seed $seed ==="
+  python -m structured_latent_odes_tpu.training_challenge --split 5 --num-epochs 500 \
+    --seed $seed --eval-every 4 --no-eval-train --no-plot \
+    --results-root "runs/r2/$name" > "runs/r2/$name.log" 2>&1
+  python -m structured_latent_odes_tpu.eval challenge "runs/r2/$name/results_Mechanistic" --json \
+    | tee "runs/r2/$name.eval.json"
+done
+
 # Heldout h22 zero-shot: shared@460 scored 6.04 vs anchor 5.874 (round-1
 # split@460: 5.075). Variants: the reference default mult (46, which won on
 # proc folds) and the annealed schedule.
