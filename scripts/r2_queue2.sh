@@ -51,6 +51,21 @@ python -m structured_latent_odes_tpu.training_proc --num-epochs 2500 \
 python -m structured_latent_odes_tpu.eval proc-heldout runs/r2/proc_heldout_anneal/results_Mechanistic --json \
   | tee runs/r2/proc_heldout_anneal.eval.json
 
+# CVS on the authors' pickles: mult-460 seed spread was wide
+# (s12 0.427/0.451, s13 0.698/4.16, s14 0.695/0.982) — probe the DEFAULT
+# config's stability and whether 2-particle ELBO tightens it.
+for v in "46_s13 --seed 13" "46_s14 --seed 14" "460_np2_s13 --seed 13 --aux-loss-multiplier 460 --num-particles 2"; do
+  name=cvs_ref_${v%% *}
+  extra=${v#* }
+  echo "=== cvs ref $name ==="
+  python -m structured_latent_odes_tpu.training_cvs --num-epochs 1000 \
+    --reference-data-dir /root/reference/data/cvs \
+    --eval-every 4 --no-eval-train --no-plot \
+    --results-root "runs/r2/$name" $extra > "runs/r2/$name.log" 2>&1
+  python -m structured_latent_odes_tpu.eval cvs "runs/r2/$name/results_Mechanistic" --json \
+    | tee "runs/r2/$name.eval.json"
+done
+
 echo "=== cvs460 self-generated + ground-truth exact recovery ==="
 python -m structured_latent_odes_tpu.training_cvs --num-epochs 1000 \
   --aux-loss-multiplier 460 --data-path datasets/cvs/ \
