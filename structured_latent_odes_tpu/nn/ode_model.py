@@ -40,7 +40,9 @@ class OdeModelSpec:
     ode_hidden_dim: int
     solver: str = "midpoint"
     # 'semilinear' (parallel affine scan, default), 'semilinear_seq',
-    # 'semilinear_pallas', 'generic' (sequential RK on the full RHS),
+    # 'semilinear_pallas', 'semilinear_timepar' (sequence-parallel over the
+    # mesh's time axis — requires parallel.timepar.time_sharding context),
+    # 'generic' (sequential RK on the full RHS),
     # 'adjoint' (generic forward + continuous adjoint backward),
     # 'adaptive' (dopri5, batchwide error control), 'adaptive_per_sample'
     # (dopri5, per-trajectory step schedules) — the full torchdiffeq
@@ -116,6 +118,27 @@ def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
     """Integrate from x0(z) over ts. Returns (B, T, D) — batch-major layout
     matching the reference's ``sol.permute(1, 0, 2)`` (blackbox_ode.py:47)."""
     x0 = initialize_state(params, z)
+    if spec.backend == "semilinear_timepar":
+        # sequence-parallel: dynamics evals + scan sharded over the mesh's
+        # time axis (parallel/timepar.py); mesh comes from the ambient
+        # time_sharding() context set by the caller of jit/trace
+        from structured_latent_odes_tpu.parallel.timepar import (
+            get_time_sharding,
+            solve_semilinear_timepar,
+        )
+
+        ctx = get_time_sharding()
+        return solve_semilinear_timepar(
+            dynamics_prod_degr,
+            params,
+            z,
+            x0,
+            ts,
+            method=spec.solver,
+            mesh=ctx.mesh,
+            time_axis=ctx.time_axis,
+            batch_axis=ctx.batch_axis,
+        )
     if spec.backend.startswith("semilinear"):
         backend = {
             "semilinear": "assoc",
