@@ -57,6 +57,7 @@ def load_cvs_config() -> Config:
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
     c.data_parallel = 0  # >1: shard the batch over an N-device mesh
+    c.time_parallel = 0  # >1: shard the ODE horizon over the mesh's time axis
     c.adjoint_solver = False  # discretize-then-optimize is exact on TPU
     c.ode_backend = "semilinear"
     c.ode_rtol = 1e-6  # adaptive backends only
@@ -97,6 +98,7 @@ def load_challenge_config() -> Config:
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
     c.data_parallel = 0  # >1: shard the batch over an N-device mesh
+    c.time_parallel = 0  # >1: shard the ODE horizon over the mesh's time axis
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"
@@ -144,6 +146,7 @@ def load_proc_config() -> Config:
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
     c.data_parallel = 0  # >1: shard the batch over an N-device mesh
+    c.time_parallel = 0  # >1: shard the ODE horizon over the mesh's time axis
     c.num_samples = 200
     c.adjoint_solver = False
     c.ode_backend = "semilinear"

@@ -35,12 +35,18 @@ def _common(config, latent_dim: int, n_time: int):
         hidden_dim=config.cnn_hidden_dim,
         latent_dim=latent_dim,
     )
+    ode_backend = config.get("ode_backend", "semilinear")
+    if int(config.get("time_parallel") or 0) > 1:
+        # --time-parallel shards the horizon over the mesh's time axis; the
+        # backend that implements that is semilinear_timepar (the ambient
+        # mesh context is installed by train.backend.make_training_backend)
+        ode_backend = "semilinear_timepar"
     ode = OdeModelSpec(
         latent_dim=latent_dim,
         ode_state_dim=config.ode_state_dim,
         ode_hidden_dim=config.ode_hidden_dim,
         solver=config.solver,
-        backend=config.get("ode_backend", "semilinear"),
+        backend=ode_backend,
         rtol=config.get("ode_rtol", 1e-6),
         atol=config.get("ode_atol", 1e-8),
     )

@@ -194,6 +194,18 @@ class TimeShardingContext(NamedTuple):
 _state = threading.local()
 
 
+def set_time_sharding(
+    mesh: Mesh, time_axis: str = "model", batch_axis: Optional[str] = "data"
+) -> Optional[TimeShardingContext]:
+    """Install the ambient mesh context for the remainder of the process —
+    the unscoped form ``train.backend`` uses for a whole training run (every
+    later jit trace of the model, including eval/recon, needs it). Returns
+    the previous context."""
+    prev = getattr(_state, "ctx", None)
+    _state.ctx = TimeShardingContext(mesh, time_axis, batch_axis)
+    return prev
+
+
 @contextlib.contextmanager
 def time_sharding(mesh: Mesh, time_axis: str = "model", batch_axis: Optional[str] = "data"):
     """Ambient mesh context consumed by the ``semilinear_timepar`` model

@@ -24,9 +24,10 @@ def make_training_backend(spec: ModelSpec, times, config, params):
     whole-epoch layouts, keyed on the mask's rank).
     """
     dp = int(config.get("data_parallel") or 0)
+    tp = int(config.get("time_parallel") or 0)
     num_particles = config.get("num_particles", 1)
     optimizer = config.get("optimizer", "shared")
-    if dp > 1:
+    if dp > 1 or tp > 1:
         from structured_latent_odes_tpu.parallel.mesh import (
             make_mesh,
             shard_batch,
@@ -34,15 +35,28 @@ def make_training_backend(spec: ModelSpec, times, config, params):
         )
         from structured_latent_odes_tpu.parallel.train import make_dp_train_step
 
+        dp = max(dp, 1)
+        tp = max(tp, 1)
         n_dev = len(jax.devices())
-        if dp > n_dev:
-            raise ValueError(f"--data-parallel {dp} > {n_dev} available devices")
+        if dp * tp > n_dev:
+            raise ValueError(
+                f"--data-parallel {dp} x --time-parallel {tp} > {n_dev} "
+                "available devices"
+            )
         if config.mini_batch_size % dp:
             raise ValueError(
                 f"mini_batch_size {config.mini_batch_size} not divisible by "
                 f"--data-parallel {dp}"
             )
-        mesh = make_mesh(n_data=dp)
+        mesh = make_mesh(n_data=dp, n_model=tp)
+        if tp > 1:
+            # sequence parallelism: the model spec carries
+            # backend='semilinear_timepar' (models/zoo.py) and every jit
+            # trace for this run — train, eval, recon — reads the mesh from
+            # the ambient context
+            from structured_latent_odes_tpu.parallel.timepar import set_time_sharding
+
+            set_time_sharding(mesh, time_axis="model", batch_axis="data")
         init_state, train_step, train_epoch = make_dp_train_step(
             spec, times, config.learning_rate, params, mesh,
             num_particles=num_particles, optimizer=optimizer,

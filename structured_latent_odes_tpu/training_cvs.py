@@ -177,6 +177,10 @@ def parse_args(argv=None):
                    help="shared per-param Adam (Pyro parity) or two split Adams")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the batch over an N-device jax.sharding mesh")
+    p.add_argument("--time-parallel", type=int, default=None,
+                   help="shard the ODE horizon over K mesh time-shards "
+                        "(sequence parallelism; forces the semilinear_timepar "
+                        "backend)")
     p.add_argument("--quantile-diff", type=float, default=None)
     p.add_argument("--num-particles", type=int, default=None,
                    help="ELBO particles averaged per step (Trace_ELBO(num_particles))")

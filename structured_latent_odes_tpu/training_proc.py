@@ -177,6 +177,10 @@ def parse_args(argv=None):
                    help="shared per-param Adam (Pyro parity) or two split Adams")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the batch over an N-device jax.sharding mesh")
+    p.add_argument("--time-parallel", type=int, default=None,
+                   help="shard the ODE horizon over K mesh time-shards "
+                        "(sequence parallelism; forces the semilinear_timepar "
+                        "backend)")
     p.add_argument("--split", type=int, default=None, help="fold 1..4")
     p.add_argument("--heldout", default=None, help="device name for zero-shot split")
     p.add_argument("--num-samples", type=int, default=None)

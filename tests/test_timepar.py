@@ -105,6 +105,34 @@ def test_model_backend_semilinear_timepar():
         solve_ode(tp, params, z, ts)
 
 
+def test_cvs_driver_time_parallel(tmp_path):
+    """The CVS CLI trains end to end with --time-parallel (sequence
+    parallelism over the mesh's time axis) composed with --data-parallel."""
+    import os
+
+    from structured_latent_odes_tpu.data import cvs
+    from structured_latent_odes_tpu.training_cvs import main
+
+    data_dir = str(tmp_path / "data") + os.sep
+    results_root = str(tmp_path / "results")
+    os.makedirs(results_root, exist_ok=True)
+    cvs.make_dataset(data_dir, data_size=30, seq_len=86, seed=0)
+
+    out = main(
+        [
+            "--num-epochs", "1",
+            "--data-path", data_dir,
+            "--results-root", results_root,
+            "--mini-batch-size", "16",
+            "--data-parallel", "2",
+            "--time-parallel", "4",
+            "--no-plot",
+            "--no-eval-train",
+        ]
+    )
+    assert np.isfinite(out["test_post"].l1)
+
+
 def test_train_step_2d_mesh_matches_single_device():
     """Full dual-loss SVI step on a (data=2, time=4) mesh — batch sharded
     over 'data', the ODE horizon sequence-parallel over 'model' — matches the
