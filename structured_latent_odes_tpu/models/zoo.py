@@ -40,6 +40,11 @@ def _common(config, latent_dim: int, n_time: int):
         # --time-parallel shards the horizon over the mesh's time axis; the
         # backend that implements that is semilinear_timepar (the ambient
         # mesh context is installed by train.backend.make_training_backend)
+        if ode_backend not in ("semilinear", "semilinear_timepar"):
+            raise ValueError(
+                f"--time-parallel requires the semilinear ode backend "
+                f"(got --ode-backend {ode_backend!r})"
+            )
         ode_backend = "semilinear_timepar"
     ode = OdeModelSpec(
         latent_dim=latent_dim,

@@ -32,7 +32,6 @@ the batch is sharded over ``data`` and the horizon over ``time``.
 from __future__ import annotations
 
 import contextlib
-import threading
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -191,7 +190,11 @@ class TimeShardingContext(NamedTuple):
     batch_axis: Optional[str]
 
 
-_state = threading.local()
+# Plain module-global (NOT thread-local): the unscoped set_time_sharding form
+# must be visible to model traces regardless of which thread jit happens to
+# trace on. Training is single-process; concurrent *different* contexts in
+# one process are unsupported.
+_ctx: Optional[TimeShardingContext] = None
 
 
 def set_time_sharding(
@@ -201,8 +204,9 @@ def set_time_sharding(
     the unscoped form ``train.backend`` uses for a whole training run (every
     later jit trace of the model, including eval/recon, needs it). Returns
     the previous context."""
-    prev = getattr(_state, "ctx", None)
-    _state.ctx = TimeShardingContext(mesh, time_axis, batch_axis)
+    global _ctx
+    prev = _ctx
+    _ctx = TimeShardingContext(mesh, time_axis, batch_axis)
     return prev
 
 
@@ -212,16 +216,16 @@ def time_sharding(mesh: Mesh, time_axis: str = "model", batch_axis: Optional[str
     backend (nn.ode_model.solve_ode): model/trace code deep inside a jitted
     train step has no argument slot for a mesh, so the backend reads it from
     here at trace time."""
-    prev = getattr(_state, "ctx", None)
-    _state.ctx = TimeShardingContext(mesh, time_axis, batch_axis)
+    global _ctx
+    prev = set_time_sharding(mesh, time_axis, batch_axis)
     try:
         yield
     finally:
-        _state.ctx = prev
+        _ctx = prev
 
 
 def get_time_sharding() -> TimeShardingContext:
-    ctx = getattr(_state, "ctx", None)
+    ctx = _ctx
     if ctx is None:
         raise RuntimeError(
             "backend='semilinear_timepar' requires an ambient mesh: wrap the "

@@ -53,6 +53,14 @@ def test_affine_recurrence_timepar_matches_single(t_steps):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    # batch-sharded variant (2-D data x time layout) must agree too
+    out2 = jax.jit(
+        lambda a, b, x: solve_affine_recurrence_timepar(
+            a, b, x, mesh=mesh, time_axis="model", batch_axis="data"
+        )
+    )(A, Bc, x0)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
+
 
 def test_semilinear_timepar_full_solve_and_grads():
     """The in-shard dynamics-eval + scan path equals the single-device solve,
@@ -103,6 +111,14 @@ def test_model_backend_semilinear_timepar():
 
     with pytest.raises(RuntimeError, match="time_sharding"):
         solve_ode(tp, params, z, ts)
+
+
+def test_time_parallel_rejects_conflicting_backend():
+    config = load_cvs_config()
+    config.time_parallel = 2
+    config.ode_backend = "adaptive"
+    with pytest.raises(ValueError, match="time-parallel"):
+        cvs_spec(config, n_time=16)
 
 
 def test_cvs_driver_time_parallel(tmp_path):
