@@ -113,6 +113,23 @@ def test_model_backend_semilinear_timepar():
         solve_ode(tp, params, z, ts)
 
 
+def test_timepar_composes_with_particle_vmap():
+    """--num-particles > 1 vmaps the ELBO over particles; the timepar solve
+    (shard_map inside) must batch correctly under that vmap."""
+    tp = OdeModelSpec(
+        latent_dim=15, ode_state_dim=5, ode_hidden_dim=25, backend="semilinear_timepar"
+    )
+    base = OdeModelSpec(latent_dim=15, ode_state_dim=5, ode_hidden_dim=25)
+    params = ode_model_init(jax.random.key(0), base)
+    z = jax.random.normal(jax.random.key(1), (3, 8, 15))  # (particles, B, L)
+    ts = jnp.arange(0.0, 17.0)
+    ref = jax.vmap(lambda zz: solve_ode(base, params, zz, ts))(z)
+    mesh = _mesh_2d()
+    with time_sharding(mesh, time_axis="model", batch_axis=None):
+        out = jax.jit(jax.vmap(lambda zz: solve_ode(tp, params, zz, ts)))(z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_time_parallel_rejects_conflicting_backend():
     config = load_cvs_config()
     config.time_parallel = 2
