@@ -56,6 +56,7 @@ def load_cvs_config() -> Config:
     c.learning_rate = 0.001
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
+    c.prior_lr_mult = 1.0  # >1: conditional-prior nets track faster (anti-collapse)
     c.data_parallel = 0  # >1: shard the batch over an N-device mesh
     c.time_parallel = 0  # >1: shard the ODE horizon over the mesh's time axis
     c.adjoint_solver = False  # discretize-then-optimize is exact on TPU
@@ -97,6 +98,7 @@ def load_challenge_config() -> Config:
     c.learning_rate = 0.001
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
+    c.prior_lr_mult = 1.0  # >1: conditional-prior nets track faster (anti-collapse)
     c.data_parallel = 0  # >1: shard the batch over an N-device mesh
     c.time_parallel = 0  # >1: shard the ODE horizon over the mesh's time axis
     c.num_samples = 200
@@ -145,6 +147,7 @@ def load_proc_config() -> Config:
     c.learning_rate = 3e-4
     c.num_particles = 1
     c.optimizer = "shared"  # Pyro-parity single per-param Adam; "split" = round-1
+    c.prior_lr_mult = 1.0  # >1: conditional-prior nets track faster (anti-collapse)
     c.data_parallel = 0  # >1: shard the batch over an N-device mesh
     c.time_parallel = 0  # >1: shard the ODE horizon over the mesh's time axis
     c.num_samples = 200

@@ -48,14 +48,19 @@ def main(argv=None):
             out[tag] = fn(args.results_dir, tag)
             if args.dataset == "proc-heldout":
                 # the notebook's alternate per-condition aggregation
-                # (sbio_eval_heldout_final.ipynb cell 8: 11.747)
+                # (sbio_eval_heldout_final.ipynb cell 8: 11.747) — derived
+                # from the already-computed base so the 200-draw sample dump
+                # is read once; a failure here must not clobber the base
                 from structured_latent_odes_tpu.eval.metrics import (
                     synbio_heldout_l1_per_condition,
                 )
 
-                out[f"{tag}_per_condition"] = synbio_heldout_l1_per_condition(
-                    args.results_dir, tag
-                )
+                try:
+                    out[f"{tag}_per_condition"] = synbio_heldout_l1_per_condition(
+                        args.results_dir, tag, base=out[tag]
+                    )
+                except (FileNotFoundError, KeyError) as e:
+                    print(f"[skip {tag}_per_condition] {e}")
         except FileNotFoundError as e:
             out[tag] = None
             print(f"[skip {tag}] missing artifact: {e.filename}")

@@ -14,7 +14,7 @@ BASELINE.md), consuming the ``.npy`` artifact contract:
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -121,14 +121,23 @@ def synbio_heldout_l1(results_dir: str, tag: str) -> float:
     return float(l1 / (len(unique_treat) * K * devices.shape[1]))
 
 
-def synbio_heldout_l1_per_condition(results_dir: str, tag: str) -> float:
+def synbio_heldout_l1_per_condition(
+    results_dir: str, tag: str, base: Optional[float] = None
+) -> float:
     """The heldout notebook's ALTERNATE aggregation (sbio_eval_heldout_final
     .ipynb cell 8 output: 11.747): identical error accumulation to cell 7 but
     normalized by the 2 input conditions (C6/C12) instead of the 4 output
-    channels — exactly ``cell7 * K / 2``."""
-    a = load_artifacts(results_dir, tag)
-    K = a["y"].shape[1]
-    return synbio_heldout_l1(results_dir, tag) * K / 2.0
+    channels — exactly ``cell7 * K / 2``.
+
+    ``base`` is an already-computed :func:`synbio_heldout_l1` value; passing
+    it skips re-reading the large 200-draw sample dump. K is read from the
+    observations header via mmap (no full load)."""
+    K = np.load(
+        os.path.join(results_dir, "observations.npy"), mmap_mode="r"
+    ).shape[1]
+    if base is None:
+        base = synbio_heldout_l1(results_dir, tag)
+    return base * K / 2.0
 
 
 def cvs_ground_truth_l1(results_dir: str, tag: str, dataset_npz: str) -> float:

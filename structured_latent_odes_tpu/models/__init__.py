@@ -8,6 +8,7 @@ from structured_latent_odes_tpu.models.slode import (  # noqa: F401
     elbo_aux,
     elbo_main,
     init_params,
+    init_params_fast,
     param_masks,
     recon,
     sample_prior_z,

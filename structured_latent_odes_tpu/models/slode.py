@@ -20,6 +20,7 @@ they jit/pjit/vmap cleanly.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -73,6 +74,21 @@ def init_params(key: Array, spec: ModelSpec):
             # learnable scalar std per continuous label (mechanistic_proc.py:119-122)
             params["aux_std"][label.name] = jnp.full((label.dim,), 1e-2)
     return params
+
+
+@functools.lru_cache(maxsize=16)
+def _init_params_jitted(spec: ModelSpec):
+    return jax.jit(lambda key: init_params(key, spec))
+
+
+def init_params_fast(key: Array, spec: ModelSpec):
+    """One-compile parameter init. Eager :func:`init_params` dispatches
+    hundreds of tiny ops — fine locally, but over a remote-tunnel backend
+    each eager op costs ~1s of round-trip compile (measured: 481s for one
+    CVS init on the axon tunnel). Jitting the whole init is ONE executable,
+    cached per (hashable, frozen) spec — so the S members of a sweep pay one
+    compile total."""
+    return _init_params_jitted(spec)(key)
 
 
 def param_masks(spec: ModelSpec, params) -> Tuple[Dict, Dict]:

@@ -28,7 +28,7 @@ def orthogonal(key: Array, shape: Sequence[int], dtype=jnp.float32) -> Array:
     For >2D shapes, flattens trailing dims (torch.nn.init.orthogonal_).
     """
     rows = shape[0]
-    cols = int(jnp.prod(jnp.asarray(shape[1:])))
+    cols = math.prod(shape[1:])  # static host arithmetic: jit-traceable
     n = max(rows, cols)
     a = jax.random.normal(key, (n, n), dtype=jnp.float32)
     q, r = jnp.linalg.qr(a)

@@ -40,8 +40,9 @@ class OdeModelSpec:
     ode_hidden_dim: int
     solver: str = "midpoint"
     # 'semilinear' (parallel affine scan, default), 'semilinear_seq',
-    # 'semilinear_pallas', 'semilinear_timepar' (sequence-parallel over the
-    # mesh's time axis — requires parallel.timepar.time_sharding context),
+    # 'semilinear_pallas', 'semilinear_auto' (shape-based assoc/pallas
+    # dispatch at trace time), 'semilinear_timepar' (sequence-parallel over
+    # the mesh's time axis — requires parallel.timepar.time_sharding context),
     # 'generic' (sequential RK on the full RHS),
     # 'adjoint' (generic forward + continuous adjoint backward),
     # 'adaptive' (dopri5, batchwide error control), 'adaptive_per_sample'
@@ -144,6 +145,7 @@ def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
             "semilinear": "assoc",
             "semilinear_seq": "seq",
             "semilinear_pallas": "pallas",
+            "semilinear_auto": "auto",
         }[spec.backend]
         prod_degr = lambda stage_ts: dynamics_prod_degr(params, stage_ts, z)
         return solve_semilinear(prod_degr, x0, ts, method=spec.solver, backend=backend)

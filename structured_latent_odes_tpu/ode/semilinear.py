@@ -136,6 +136,23 @@ def solve_affine_sequential(A: Array, B: Array, x0: Array) -> Array:
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
+# Auto-backend crossover: the Pallas kernel streams A/B through VMEM once
+# (sequential sweep) and wins when the associative scan's O(log T) HBM passes
+# dominate — i.e. at large flattened batch*state width M. At small M the
+# end-to-end path is layout/dispatch-bound and assoc wins. Crossover measured
+# on v5e (scripts/measure_backend_crossover.py; docs/PERFORMANCE.md).
+_PALLAS_MIN_LANES = 32768
+
+
+def _auto_scan_backend(A: Array) -> str:
+    """Pick 'pallas' vs 'assoc' from static shapes at trace time: A has the
+    time axis at -2; everything else is elementwise lanes."""
+    if jax.default_backend() != "tpu":
+        return "assoc"
+    lanes = int(np.prod(A.shape)) // A.shape[-2]
+    return "pallas" if lanes >= _PALLAS_MIN_LANES else "assoc"
+
+
 def solve_semilinear(
     prod_degr_fn: Callable[[Array], Tuple[Array, Array]],
     x0: Array,
@@ -152,8 +169,10 @@ def solve_semilinear(
         shape ``(B, T-1, S, D)`` (or ``(T-1, S, D)`` unbatched).
       x0: initial state ``(B, D)`` (or ``(D,)``).
       ts: output/solution times ``(T,)``.
-      backend: 'assoc' (parallel scan), 'seq' (lax.scan) or 'pallas'
-        (fused TPU kernel from structured_latent_odes_tpu.ops).
+      backend: 'assoc' (parallel scan), 'seq' (lax.scan), 'pallas' (fused TPU
+        kernel from structured_latent_odes_tpu.ops), or 'auto' (shape-based
+        trace-time dispatch: pallas in the HBM-bound wide regime, assoc
+        otherwise — shapes are static under jit so this costs nothing).
 
     Returns:
       Solution with time axis *after* the batch axis: ``(B, T, D)`` — the
@@ -166,6 +185,8 @@ def solve_semilinear(
     a, d = prod_degr_fn(stage_ts)  # (B, T-1, S, D)
     h = ts[1:] - ts[:-1]
     A, B = rk_affine_coeffs(a, d, h, tableau)  # (B, T-1, D)
+    if backend == "auto":
+        backend = _auto_scan_backend(A)
     if backend == "assoc":
         # scan over the time axis, which sits at -2 for batched inputs
         sol = solve_affine_recurrence(A, B, x0, time_axis=A.ndim - 2)

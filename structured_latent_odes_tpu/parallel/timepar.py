@@ -210,6 +210,21 @@ def set_time_sharding(
     return prev
 
 
+def clear_time_sharding() -> Optional[TimeShardingContext]:
+    """Remove the ambient mesh context (e.g. at the end of a run installed
+    via the unscoped :func:`set_time_sharding`). Returns the previous
+    context so callers can restore it if they were nested."""
+    global _ctx
+    prev = _ctx
+    _ctx = None
+    return prev
+
+
+def current_time_sharding() -> Optional[TimeShardingContext]:
+    """The ambient context, or None — for identity checks by run managers."""
+    return _ctx
+
+
 @contextlib.contextmanager
 def time_sharding(mesh: Mesh, time_axis: str = "model", batch_axis: Optional[str] = "data"):
     """Ambient mesh context consumed by the ``semilinear_timepar`` model

@@ -31,6 +31,7 @@ def make_dp_train_step(
     mesh: Mesh,
     num_particles: int = 1,
     optimizer: str = "shared",
+    prior_lr_mult: float = 1.0,
 ):
     """Returns (init_state_fn, sharded jitted train_step, train_epoch).
 
@@ -44,7 +45,9 @@ def make_dp_train_step(
     propagate from operand placement and GSPMD inserts the ICI all-reduce
     for the replicated-param gradients.
     """
-    optim = make_dual_optimizer(spec, params_example, lr, optimizer)
+    optim = make_dual_optimizer(
+        spec, params_example, lr, optimizer, prior_lr_mult=prior_lr_mult
+    )
     repl = replicated(mesh)
 
     def init_state(params, key) -> SVIState:

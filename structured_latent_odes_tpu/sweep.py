@@ -1,0 +1,406 @@
+"""Multi-seed sweep driver: S full training runs in one jitted dispatch.
+
+Usage::
+
+  python -m structured_latent_odes_tpu.sweep cvs --seeds 12..21 \
+      --aux-loss-multiplier 460 --reference-data-dir datasets/cvs_reference \
+      --results-root runs/r3/cvs460
+
+  python -m structured_latent_odes_tpu.sweep challenge --seeds 12,13,14 \
+      --split 5 --num-epochs 2000 --mini-batch-size 8 \
+      --aux-mult-final 46 --aux-anneal-epochs 1000
+
+Each member is an EXACT replica of the corresponding sequential CLI run
+(training_{cvs,proc,challenge}.py) at that seed: same dataset build, same
+host-shuffle batch composition, same device key chain, same best-model
+selection policy (train/ensemble.py; member parity tested in
+tests/test_ensemble.py).  The entire ensemble trains inside ONE compiled
+``vmap(scan(epochs, scan(batches)))`` — S seeds cost roughly one sequential
+run's wall-clock on a single chip (the reference cannot express this at all;
+its models leave the chip >99% idle one-at-a-time).
+
+After training, each member's best params get the standard final test
+evaluation + ``.npy`` artifact dump into ``<results-root>/seed<seed>/
+results_<Model>/`` and the notebook headline metric (eval/metrics.py) is
+computed; a ``sweep.json`` summary lands in ``<results-root>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structured_latent_odes_tpu.data.loader import full_batch, stacked_minibatches
+from structured_latent_odes_tpu.models import init_params_fast
+from structured_latent_odes_tpu.train import artifacts
+from structured_latent_odes_tpu.train.driver import final_test_eval
+from structured_latent_odes_tpu.train.ensemble import (
+    aux_mult_schedule,
+    build_epoch_perms,
+    make_ensemble_runner,
+    stack_members,
+)
+from structured_latent_odes_tpu.train.svi import make_eval_fns
+from structured_latent_odes_tpu.utils import set_seed
+
+
+# ---------------------------------------------------------------------------
+# per-dataset member preparation (mirrors each CLI driver's train() preamble)
+# ---------------------------------------------------------------------------
+
+
+def _prep_cvs(cfg):
+    from structured_latent_odes_tpu.models import cvs_spec
+    from structured_latent_odes_tpu.training_cvs import build_splits
+
+    splits, _ = build_splits(cfg)
+    times = np.arange(
+        0.0, cfg.seq_len * cfg.delta_t, cfg.delta_t, dtype=np.float32
+    )
+    return splits, times, cvs_spec(cfg), "cvs", "test"
+
+
+def _prep_proc(cfg):
+    from structured_latent_odes_tpu.data import proc as proc_data
+    from structured_latent_odes_tpu.models import proc_spec
+
+    splits, times = proc_data.build_splits(cfg)
+    policy = "proc_heldout" if cfg.get("heldout") else "proc"
+    return splits, times, proc_spec(cfg, n_time=len(times)), policy, "val"
+
+
+def _prep_challenge(cfg):
+    from structured_latent_odes_tpu.data import challenge as challenge_data
+    from structured_latent_odes_tpu.data.loader import normalize_split, to_model_layout
+    from structured_latent_odes_tpu.data.transforms import create_transforms
+    from structured_latent_odes_tpu.models import challenge_spec
+
+    raw_splits, norm_params, times = challenge_data.build_datasets(cfg)
+    transforms = create_transforms(cfg.norm, norm_params)
+    splits = {
+        name: to_model_layout(normalize_split(split, transforms))
+        for name, split in raw_splits.items()
+    }
+    n_train = splits["train"]["observations"].shape[0]
+    cfg.mini_batch_size = min(cfg.mini_batch_size, ((n_train + 7) // 8) * 8)
+    return splits, times, challenge_spec(cfg, n_time=len(times)), "challenge", "val"
+
+
+PREP = {"cvs": _prep_cvs, "proc": _prep_proc, "challenge": _prep_challenge}
+
+
+def prepare_member(dataset: str, base_config, seed: int) -> Dict:
+    """Everything one ensemble member needs, derived exactly as the
+    sequential driver derives it at this seed."""
+    cfg = base_config.copy()
+    cfg.seed = seed
+    key = set_seed(seed)
+    rng = np.random.RandomState(seed)
+    splits, times, spec, policy, test_name = PREP[dataset](cfg)
+    key, k_init, k_train, k_eval = jax.random.split(key, 4)
+    params = init_params_fast(k_init, spec)
+    n_train = splits["train"]["observations"].shape[0]
+    perms, mask = build_epoch_perms(n_train, cfg.mini_batch_size, cfg.num_epochs, rng)
+    sched = aux_mult_schedule(cfg, cfg.num_epochs)
+    needs_val = policy in ("cvs", "proc")
+    val_stack = (
+        stacked_minibatches(splits["val"], cfg.mini_batch_size, shuffle=False)
+        if needs_val
+        else None
+    )
+    return {
+        "seed": seed,
+        "config": cfg,
+        "splits": splits,
+        "times": times,
+        "spec": spec,
+        "policy": policy,
+        "test_name": test_name,
+        "params": params,
+        "k_train": k_train,
+        "k_eval": k_eval,
+        "key": key,  # post-derivation chain, feeds k_test (and k_samp)
+        "perms": perms,
+        "mask": mask,
+        "aux_mult": sched,
+        "val_stack": val_stack,
+    }
+
+
+def train_ensemble(members: List[Dict], *, num_particles=1, optimizer="shared"):
+    """Stack member preps, compile once, run all members to completion."""
+    m0 = members[0]
+    spec, times, policy = m0["spec"], m0["times"], m0["policy"]
+    cfg = m0["config"]
+    runner = make_ensemble_runner(
+        spec,
+        times,
+        cfg.learning_rate,
+        m0["params"],
+        policy=policy,
+        num_particles=num_particles,
+        optimizer=optimizer,
+        prior_lr_mult=float(cfg.get("prior_lr_mult") or 1.0),
+    )
+    states = stack_members(
+        [runner.init_state(m["params"], m["k_train"]) for m in members]
+    )
+    eval_keys = jnp.stack([m["k_eval"] for m in members])
+    train_splits = stack_members([m["splits"]["train"] for m in members])
+    val_stacks = (
+        stack_members([m["val_stack"] for m in members])
+        if m0["val_stack"] is not None
+        else None
+    )
+    perms = jnp.asarray(np.stack([m["perms"] for m in members]))
+    for m in members[1:]:
+        assert np.array_equal(m["mask"], m0["mask"]), "member batch layouts differ"
+    mask = jnp.asarray(m0["mask"])
+    aux_mult = jnp.asarray(np.stack([m["aux_mult"] for m in members]))
+
+    result = runner.run(states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult)
+    jax.block_until_ready(result.best_crit)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# per-member finalization: standard test eval + artifact dump + headline metric
+# ---------------------------------------------------------------------------
+
+
+def finalize_member(
+    dataset: str, member: Dict, best_params, best_epoch: int, root: str,
+    eval_fns=None,
+):
+    """The sequential driver's post-training tail for one member: final test
+    eval on the best params, the ``.npy`` artifact contract, and the
+    reference notebook's headline metric for this dataset. Pass a shared
+    ``eval_fns`` (make_eval_fns) so the S members reuse ONE set of compiled
+    eval executables (a fresh make_eval_fns per member would recompile)."""
+    from structured_latent_odes_tpu.eval import metrics as EM
+
+    cfg, spec, times = member["config"], member["spec"], member["times"]
+    splits, key = member["splits"], member["key"]
+    if eval_fns is None:
+        eval_fns = make_eval_fns(spec, times)
+    out_dir = artifacts.results_dir(cfg.model, root)
+
+    if dataset == "cvs":
+        key, k_test = jax.random.split(key)
+        eval_bs = cfg.mini_batch_size
+    else:
+        key, k_test, k_samp = jax.random.split(key, 3)
+        eval_bs = cfg.mini_batch_size
+        if dataset == "challenge":
+            eval_bs = max(eval_bs, splits["val"]["observations"].shape[0])
+
+    post, prior = final_test_eval(
+        spec, best_params, k_test, splits[member["test_name"]], eval_fns, eval_bs
+    )
+
+    if dataset == "cvs":
+        labels = {
+            "iext": post.labels["iext"].squeeze(-1),
+            "rtpr": post.labels["rtpr"].squeeze(-1),
+        }
+    elif dataset == "proc":
+        labels = {
+            "treatments": np.concatenate(
+                [post.labels["C12"], post.labels["C6"]], axis=1
+            ),
+            "devices": np.concatenate([post.labels["aR"], post.labels["aS"]], axis=1),
+        }
+    else:
+        labels = {
+            "symptoms": post.labels["symptoms"].squeeze(-1),
+            "shedding": post.labels["shedding"].squeeze(-1),
+        }
+    artifacts.dump_common(out_dir, post.observations, times, labels)
+    artifacts.dump_recon(out_dir, "post", post.recon)
+    artifacts.dump_recon(out_dir, "prior", prior.recon)
+
+    heldout = dataset == "proc" and cfg.get("heldout")
+    if heldout:
+        # zero-shot metric needs the 200-draw sample dump
+        from structured_latent_odes_tpu.training_challenge import multiple_samples
+
+        fb = {k: jax.device_put(v) for k, v in full_batch(splits["val"]).items()}
+        _, _, reconstruct = eval_fns
+        for tag, is_post in (("post", True), ("prior", False)):
+            k_samp, sub = jax.random.split(k_samp)
+            bands = multiple_samples(
+                reconstruct, best_params, sub, fb, cfg.num_samples, is_post
+            )
+            artifacts.dump_sample_bands(
+                out_dir, tag, bands["mu_25"], bands["mu_50"], bands["mu_75"]
+            )
+
+    metric_fn = {
+        "cvs": EM.cvs_class_averaged_l1,
+        "proc": EM.synbio_heldout_l1 if heldout else EM.synbio_device_averaged_l1,
+        "challenge": EM.challenge_outcome_averaged_l1,
+    }[dataset]
+    out = {
+        "seed": member["seed"],
+        "best_epoch": int(best_epoch),
+        "l1_post": metric_fn(out_dir, "post"),
+        "l1_prior": metric_fn(out_dir, "prior"),
+        "label_metrics_post": {k: float(v) for k, v in post.label_metrics.items()},
+        "results_dir": out_dir,
+    }
+    if heldout:
+        out["l1_post_per_condition"] = EM.synbio_heldout_l1_per_condition(
+            out_dir, "post", base=out["l1_post"]
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def parse_seeds(s: str) -> List[int]:
+    """'12,13,15' or '12..21' (inclusive) or a mix: '12..15,20'."""
+    out: List[int] = []
+    for part in s.split(","):
+        if ".." in part:
+            a, b = part.split("..")
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("dataset", choices=sorted(PREP))
+    p.add_argument("--seeds", required=True, help="e.g. 12,13,14 or 12..21")
+    p.add_argument("--results-root", default="runs/sweep")
+    p.add_argument("--model", choices=["Mechanistic", "MechanisticGauss"], default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--aux-loss-multiplier", type=float, default=None)
+    p.add_argument("--aux-mult-final", type=float, default=None)
+    p.add_argument("--aux-anneal-epochs", type=int, default=None)
+    p.add_argument("--aux-mult-start", type=float, default=None,
+                   help="warm the aux multiplier up from this value")
+    p.add_argument("--aux-warmup-epochs", type=int, default=None)
+    p.add_argument("--prior-lr-mult", type=float, default=None,
+                   help="conditional-prior net learning-rate multiplier")
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--mini-batch-size", type=int, default=None)
+    p.add_argument("--optimizer", choices=["shared", "split"], default=None)
+    p.add_argument("--num-particles", type=int, default=None)
+    p.add_argument("--quantile-diff", type=float, default=None)
+    p.add_argument("--split", type=int, default=None, help="proc/challenge fold")
+    p.add_argument("--heldout", default=None, help="proc zero-shot device")
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--ode-backend", default=None)
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--reference-data-dir", default=None)
+    return p.parse_args(argv)
+
+
+def load_base_config(dataset: str):
+    from structured_latent_odes_tpu.data.configs import (
+        load_challenge_config,
+        load_cvs_config,
+        load_proc_config,
+    )
+
+    return {
+        "cvs": load_cvs_config,
+        "proc": load_proc_config,
+        "challenge": load_challenge_config,
+    }[dataset]()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = load_base_config(args.dataset)
+    for k, v in vars(args).items():
+        k2 = k.replace("-", "_")
+        if v is not None and k2 in config:
+            config[k2] = v
+    if args.num_epochs is not None:
+        config.num_epochs = args.num_epochs
+    if args.heldout:
+        config.heldout = args.heldout
+    if args.reference_data_dir:
+        config.reference_data_dir = args.reference_data_dir
+    config.aux_mult_final = args.aux_mult_final
+    config.aux_anneal_epochs = args.aux_anneal_epochs
+    config.aux_mult_start = args.aux_mult_start
+    config.aux_warmup_epochs = args.aux_warmup_epochs
+
+    seeds = parse_seeds(args.seeds)
+    os.makedirs(args.results_root, exist_ok=True)
+    print(f"sweep: {args.dataset} x {len(seeds)} seeds {seeds}")
+    print(config.to_json())
+
+    t0 = time.time()
+    members = [prepare_member(args.dataset, config, s) for s in seeds]
+    t_prep = time.time() - t0
+    result = train_ensemble(
+        members,
+        num_particles=config.get("num_particles", 1),
+        optimizer=config.get("optimizer", "shared"),
+    )
+    t_train = time.time() - t0 - t_prep
+    E = members[0]["perms"].shape[0]
+    nb = members[0]["perms"].shape[1]
+    print(
+        f"trained {len(seeds)} members x {E} epochs ({len(seeds) * E * nb} total "
+        f"steps) in {t_train:.1f}s — prep {t_prep:.1f}s"
+    )
+
+    best_params_host = jax.tree.map(np.asarray, result.best_params)
+    best_epochs = np.asarray(result.best_epoch)
+    best_crits = np.asarray(result.best_crit)
+    shared_eval_fns = make_eval_fns(members[0]["spec"], members[0]["times"])
+    summary = []
+    for i, m in enumerate(members):
+        bp = jax.tree.map(lambda x: x[i], best_params_host)
+        row = finalize_member(
+            args.dataset, m, bp, best_epochs[i],
+            os.path.join(args.results_root, f"seed{m['seed']}"),
+            eval_fns=shared_eval_fns,
+        )
+        row["criterion"] = float(best_crits[i])
+        summary.append(row)
+        print(
+            f"seed {m['seed']}: post {row['l1_post']:.4f}  prior "
+            f"{row['l1_prior']:.4f}  best_epoch {row['best_epoch']}  "
+            f"{row['label_metrics_post']}"
+        )
+
+    wall = time.time() - t0
+    out = {
+        "dataset": args.dataset,
+        "seeds": seeds,
+        "config": json.loads(config.to_json()),
+        "members": summary,
+        "wall_seconds": wall,
+        "train_seconds": t_train,
+    }
+    with open(os.path.join(args.results_root, "sweep.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    posts = [r["l1_post"] for r in summary]
+    priors = [r["l1_prior"] for r in summary]
+    print(
+        f"SWEEP DONE [{wall:.0f}s]: post median {np.median(posts):.4f} "
+        f"(min {min(posts):.4f} max {max(posts):.4f})  prior median "
+        f"{np.median(priors):.4f} (min {min(priors):.4f} max {max(priors):.4f})"
+    )
+    return out
+
+
+if __name__ == "__main__":
+    main()

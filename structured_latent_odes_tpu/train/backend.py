@@ -14,6 +14,25 @@ import jax
 from structured_latent_odes_tpu.models.spec import ModelSpec
 from structured_latent_odes_tpu.train.svi import make_train_step
 
+# The time-sharding context THIS module installed for the previous run (the
+# unscoped set_time_sharding form has process lifetime). Tracked so a later
+# in-process run can't silently reuse a stale mesh: each backend build clears
+# a context it installed itself — but never one a user installed via the
+# scoped parallel.timepar.time_sharding(...) manager (different object).
+_installed_time_ctx = None
+
+
+def _reset_stale_time_ctx():
+    global _installed_time_ctx
+    from structured_latent_odes_tpu.parallel import timepar
+
+    if (
+        _installed_time_ctx is not None
+        and timepar.current_time_sharding() is _installed_time_ctx
+    ):
+        timepar.clear_time_sharding()
+    _installed_time_ctx = None
+
 
 def make_training_backend(spec: ModelSpec, times, config, params):
     """Returns (init_state, train_step, train_epoch, put_batch).
@@ -23,10 +42,13 @@ def make_training_backend(spec: ModelSpec, times, config, params):
     ``config.data_parallel`` > 1 (works for both per-minibatch and stacked
     whole-epoch layouts, keyed on the mask's rank).
     """
+    global _installed_time_ctx
+    _reset_stale_time_ctx()
     dp = int(config.get("data_parallel") or 0)
     tp = int(config.get("time_parallel") or 0)
     num_particles = config.get("num_particles", 1)
     optimizer = config.get("optimizer", "shared")
+    prior_lr_mult = float(config.get("prior_lr_mult") or 1.0)
     if dp > 1 or tp > 1:
         from structured_latent_odes_tpu.parallel.mesh import (
             make_mesh,
@@ -54,12 +76,14 @@ def make_training_backend(spec: ModelSpec, times, config, params):
             # backend='semilinear_timepar' (models/zoo.py) and every jit
             # trace for this run — train, eval, recon — reads the mesh from
             # the ambient context
-            from structured_latent_odes_tpu.parallel.timepar import set_time_sharding
+            from structured_latent_odes_tpu.parallel import timepar
 
-            set_time_sharding(mesh, time_axis="model", batch_axis="data")
+            timepar.set_time_sharding(mesh, time_axis="model", batch_axis="data")
+            _installed_time_ctx = timepar.current_time_sharding()
         init_state, train_step, train_epoch = make_dp_train_step(
             spec, times, config.learning_rate, params, mesh,
             num_particles=num_particles, optimizer=optimizer,
+            prior_lr_mult=prior_lr_mult,
         )
 
         def put_batch(b):
@@ -72,5 +96,6 @@ def make_training_backend(spec: ModelSpec, times, config, params):
     init_state, train_step, train_epoch = make_train_step(
         spec, times, config.learning_rate, params,
         num_particles=num_particles, optimizer=optimizer,
+        prior_lr_mult=prior_lr_mult,
     )
     return init_state, train_step, train_epoch, None

@@ -120,6 +120,47 @@ def eval_split(
     )
 
 
+def epoch_aux_mult(config, epoch: int):
+    """Optional aux-site scale schedule (PARITY.md): warm-up
+    aux_mult_start -> aux_loss_multiplier over aux_warmup_epochs, then linear
+    anneal -> aux_mult_final over aux_anneal_epochs. None = the spec constant
+    (no schedule configured). Shared by the sequential epoch loop and the
+    ensemble trainer (train/ensemble.aux_mult_schedule) so sweep members and
+    CLI runs see identical multipliers."""
+    base = float(config.aux_loss_multiplier)
+    warmup = config.get("aux_warmup_epochs") or 0
+    start = config.get("aux_mult_start")
+    anneal = config.get("aux_anneal_epochs") or 0
+    final = config.get("aux_mult_final")
+    has_warmup = bool(warmup) and start is not None
+    has_anneal = bool(anneal) and final is not None
+    if not has_warmup and not has_anneal:
+        return None
+    m = (
+        float(start) + (base - float(start)) * min(1.0, epoch / warmup)
+        if has_warmup
+        else base
+    )
+    if has_anneal:
+        frac = min(1.0, epoch / anneal)
+        m = m * (1 - frac) + float(final) * frac
+    return float(m)
+
+
+def _stats_from_fused(spec: ModelSpec, fused) -> EvalStats:
+    """EvalStats (without recon payloads) from a fused ``eval_epoch`` result."""
+    fused = jax.tree.map(float, fused)
+    n = max(fused["n"], 1.0)
+    return EvalStats(
+        elbo=[fused["elbo_main"], fused["elbo_aux"]],
+        l1=fused["l1"] / n,
+        label_metrics={k: v / n for k, v in fused["labels"].items()},
+        recon={},
+        labels={},
+        observations=np.zeros(0),
+    )
+
+
 def run_training_epochs(
     *,
     spec: ModelSpec,
@@ -140,6 +181,7 @@ def run_training_epochs(
     resume: bool = False,
     put_batch: Optional[Callable] = None,
     profile_dir: Optional[str] = None,
+    fast_eval: Optional[Callable] = None,
 ):
     """The shared epoch loop. ``select_best`` implements each dataset's
     (different!) best-model policy; it receives and returns a dict with at
@@ -157,6 +199,13 @@ def run_training_epochs(
     restored, and all model draws are per-sample keyed, a resumed run is
     BATCH-EXACT: it replays the identical shuffles, draws, and updates the
     uninterrupted run would have made (tested in test_train_infra).
+
+    With ``fast_eval`` (a ``svi.make_eval_epoch`` function), the per-epoch
+    statistics run as ONE fused dispatch per (split, mode) over eval batch
+    stacks cached on device — the recon-collecting ``eval_split`` host loop
+    is used only on epochs whose ``on_epoch`` plotting needs the arrays
+    (``config.plot_epoch``). Same RNG keys, same numbers (f32-tested), so
+    best-model selection is unchanged.
     """
     from structured_latent_odes_tpu.train import checkpoint as ckpt
 
@@ -187,14 +236,23 @@ def run_training_epochs(
         print(f"resumed from {checkpoint_path} at epoch {start_epoch}")
 
     def _epoch_aux_mult(epoch: int):
-        """Optional linear annealing of the aux-site scale (PARITY.md):
-        aux_loss_multiplier -> aux_mult_final over aux_anneal_epochs."""
-        anneal = config.get("aux_anneal_epochs") or 0
-        final = config.get("aux_mult_final")
-        if not anneal or final is None:
-            return None
-        frac = min(1.0, epoch / anneal)
-        return float(config.aux_loss_multiplier * (1 - frac) + final * frac)
+        return epoch_aux_mult(config, epoch)
+
+    # device-resident eval stacks for the fused eval path: built once per
+    # split (eval order is never shuffled, so the stack is epoch-invariant)
+    _eval_stacks: Dict[str, Dict] = {}
+
+    def _eval_stack(name: str):
+        if name not in _eval_stacks:
+            _eval_stacks[name] = put(
+                stacked_minibatches(splits[name], batch_size, shuffle=False)
+            )
+        return _eval_stacks[name]
+
+    def _fused_split(params, key, name: str, is_post: bool) -> EvalStats:
+        return _stats_from_fused(
+            spec, fast_eval(params, key, _eval_stack(name), is_post)
+        )
 
     # trace the SECOND epoch (first is compile-dominated) — or the only
     # epoch when the run is too short to have a second one
@@ -239,23 +297,40 @@ def run_training_epochs(
             continue
 
         eval_key, k1, k2, k3, k4 = jax.random.split(eval_key, 5)
-        val_post = eval_split(
-            spec, state.params, k1, splits["val"], eval_fns, batch_size, is_post=True
+        # full (recon-collecting) eval only where on_epoch plotting consumes
+        # the arrays; everything else takes the fused one-dispatch path
+        needs_recon = bool(
+            on_epoch is not None
+            and config.get("plot_epoch")
+            and epoch % config.plot_epoch == 0
+            and config.get("plot", True)
         )
-        val_prior = eval_split(
-            spec, state.params, k2, splits["val"], eval_fns, batch_size, is_post=False
-        )
-        if eval_train_stats:
-            train_post = eval_split(
-                spec, state.params, k3, splits["train"], eval_fns, batch_size, True,
-                collect_recon=False,
-            )
-            train_prior = eval_split(
-                spec, state.params, k4, splits["train"], eval_fns, batch_size, False,
-                collect_recon=False,
-            )
+        if fast_eval is not None and not needs_recon:
+            val_post = _fused_split(state.params, k1, "val", True)
+            val_prior = _fused_split(state.params, k2, "val", False)
+            if eval_train_stats:
+                train_post = _fused_split(state.params, k3, "train", True)
+                train_prior = _fused_split(state.params, k4, "train", False)
+            else:
+                train_post = train_prior = val_post
         else:
-            train_post = train_prior = val_post
+            val_post = eval_split(
+                spec, state.params, k1, splits["val"], eval_fns, batch_size, is_post=True
+            )
+            val_prior = eval_split(
+                spec, state.params, k2, splits["val"], eval_fns, batch_size, is_post=False
+            )
+            if eval_train_stats:
+                train_post = eval_split(
+                    spec, state.params, k3, splits["train"], eval_fns, batch_size, True,
+                    collect_recon=False,
+                )
+                train_prior = eval_split(
+                    spec, state.params, k4, splits["train"], eval_fns, batch_size, False,
+                    collect_recon=False,
+                )
+            else:
+                train_post = train_prior = val_post
 
         prev_best = best
         best = select_best(

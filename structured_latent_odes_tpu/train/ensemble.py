@@ -1,0 +1,237 @@
+"""Vmapped multi-run (ensemble/sweep) trainer: S full training runs in ONE jit.
+
+The reference trains strictly one model per process (SURVEY.md §2; its only
+parallel artifact is a dormant DataParallel wrapper,
+/root/reference/models/encoder_mlp.py:94-96).  These models are ~40k params on
+a chip with ~200 GFLOP/s-scale headroom at that size — round 2 measured 0.15%
+MFU for a single run.  This module turns that idle silicon into *experiment
+throughput*: the ENTIRE training run — every epoch's minibatch scan, the
+per-epoch validation ELBO, the best-model selection policy — is one compiled
+``lax.scan`` over epochs, ``jax.vmap``-ed over a leading member axis (seeds).
+S seeds of a full CVS run cost roughly one run's wall-clock.
+
+Member parity: each member reproduces the sequential CLI driver exactly —
+same host-shuffle permutations (``build_epoch_perms`` consumes the member's
+``np.random.RandomState(seed)`` exactly like ``data.loader
+.stacked_minibatches``), same device key chain (``set_seed`` derivation),
+same per-sample draw keying, same selection policy arithmetic
+(tests/test_ensemble.py asserts member ≡ sequential run).
+
+Selection policies (each dataset's reference behavior, SURVEY.md §3):
+
+- ``cvs``          best val posterior ELBO × n_losses, ties update
+                   (/root/reference/training_cvs.py:325-331)
+- ``proc``         best val posterior ELBO, strict; best_epoch is 1-based
+                   (/root/reference/training_proc.py:380-388)
+- ``proc_heldout`` overwrite every epoch (zero-shot split,
+                   /root/reference/training_proc.py:389-393)
+- ``challenge``    best mean TRAIN epoch loss, strict
+                   (/root/reference/training_challenge.py:368-375)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structured_latent_odes_tpu.models import elbo_aux, elbo_main
+from structured_latent_odes_tpu.models.spec import ModelSpec
+from structured_latent_odes_tpu.train.svi import (
+    SVIState,
+    make_dual_optimizer,
+    make_dual_step,
+)
+
+Array = jax.Array
+
+POLICIES = ("cvs", "proc", "proc_heldout", "challenge")
+
+
+class EnsembleRunner(NamedTuple):
+    init_state: Any  # (params, key) -> SVIState — identical to the CLI driver's
+    run: Any         # the jitted vmapped full-run function (see make_ensemble_runner)
+
+
+class EnsembleResult(NamedTuple):
+    state: Any        # final SVIState, leading member axis
+    best_params: Any  # pytree, leading member axis
+    best_crit: Array  # (S,)
+    best_epoch: Array  # (S,) int32
+    history: Dict[str, Array]  # per-epoch per-batch train losses (S, E, nb)
+
+
+def build_epoch_perms(
+    n: int, batch_size: int, num_epochs: int, rng: np.random.RandomState
+):
+    """Per-epoch shuffle permutations, padded to whole batches.
+
+    Consumes ``rng`` exactly as ``stacked_minibatches`` does (one
+    ``rng.shuffle`` per epoch), so member e of an ensemble sees the same
+    batch composition as a sequential driver run with the same seed.  The
+    epoch loop runs ``num_epochs + 1`` times (the driver's
+    ``range(0, num_epochs + 1)``).  Returns (perms (E, nb, B) int32,
+    mask (nb, B) float32).
+    """
+    n_batches = -(-n // batch_size)
+    padded = n_batches * batch_size
+    E = num_epochs + 1
+    perms = np.zeros((E, n_batches, batch_size), dtype=np.int32)
+    for e in range(E):
+        idx = np.arange(n)
+        rng.shuffle(idx)
+        sel = np.concatenate([idx, np.zeros(padded - n, dtype=int)])
+        perms[e] = sel.reshape(n_batches, batch_size).astype(np.int32)
+    mask = np.zeros(padded, dtype=np.float32)
+    mask[:n] = 1.0
+    return perms, mask.reshape(n_batches, batch_size)
+
+
+def aux_mult_schedule(config, num_epochs: int) -> np.ndarray:
+    """The driver's per-epoch aux multiplier as an (E,) array for the fused
+    epoch scan: optional warm-up (aux_mult_start -> base over
+    aux_warmup_epochs; lets the conditional prior track the posterior from
+    the start — anti-collapse) followed by the optional linear anneal
+    (-> aux_mult_final over aux_anneal_epochs). Matches
+    ``train.driver._epoch_aux_mult`` pointwise (tested)."""
+    from structured_latent_odes_tpu.train.driver import epoch_aux_mult
+
+    base = float(config.aux_loss_multiplier)
+    vals = [epoch_aux_mult(config, e) for e in range(num_epochs + 1)]
+    return np.asarray(
+        [base if v is None else v for v in vals], dtype=np.float32
+    )
+
+
+def make_ensemble_runner(
+    spec: ModelSpec,
+    ts,
+    lr: float,
+    params_example,
+    *,
+    policy: str,
+    num_particles: int = 1,
+    optimizer: str = "shared",
+    prior_lr_mult: float = 1.0,
+):
+    """Build the fused multi-member runner.
+
+    Returns ``run(states, eval_keys, train_splits, val_stacks, perms, mask,
+    aux_mult) -> EnsembleResult`` where every argument has a leading member
+    axis except ``mask`` (padding layout is shape-static across members):
+
+    - states: vmapped SVIState (params/opt/key stacked over S)
+    - eval_keys: (S,) typed keys — the driver's ``k_eval`` per member
+    - train_splits: dict of (S, N, ...) arrays (observations + labels)
+    - val_stacks: dict of (S, nb_v, B_v, ...) stacked val minibatches
+      (pass None for policies that never read the val split)
+    - perms: (S, E, nb, B) int32, mask: (nb, B) f32, aux_mult: (S, E) f32
+    """
+    if policy not in POLICIES:
+        raise ValueError(f"unknown policy {policy!r}; one of {POLICIES}")
+    ts = jnp.asarray(ts)
+    optim = make_dual_optimizer(
+        spec, params_example, lr, optimizer, prior_lr_mult=prior_lr_mult
+    )
+    _step = make_dual_step(spec, ts, optim, num_particles)
+    needs_val = policy in ("cvs", "proc")
+
+    def _val_elbo_sums(params, key, val_stack):
+        """Σ over val batches of (loss/n) per loss — eval_split's ELBO
+        accounting, keyed exactly like the driver: eval_split first splits
+        its key into (losses, recon, classify) thirds, then
+        evaluate_losses splits once more into (main, aux)."""
+        k1, _k2, _k3 = jax.random.split(key, 3)
+        ka, kb = jax.random.split(k1)
+
+        def one(carry, batch):
+            n = jnp.maximum(jnp.sum(batch["mask"]), 1.0)
+            lm, _ = elbo_main(spec, params, ka, batch, ts)
+            la = elbo_aux(spec, params, kb, batch)
+            return carry, (lm / n, la / n)
+
+        _, (lms, las) = jax.lax.scan(one, None, val_stack)
+        return jnp.sum(lms), jnp.sum(las)
+
+    def run_one(state: SVIState, eval_key, train_split, val_stack, perms, mask, aux_mult):
+        best0 = (
+            jax.tree.map(jnp.asarray, state.params),
+            jnp.asarray(jnp.inf),
+            jnp.asarray(0, jnp.int32),
+        )
+
+        def epoch_body(carry, xs):
+            state, eval_key, best_p, best_c, best_e = carry
+            perm, mult, epoch = xs
+            batches = {k: v[perm] for k, v in train_split.items()}
+            batches["mask"] = mask
+            batches["sample_id"] = perm
+            batches["aux_mult"] = jnp.full((perm.shape[0],), mult)
+            state, mets = jax.lax.scan(_step, state, batches)
+
+            eval_key, k1, _k2, _k3, _k4 = jax.random.split(eval_key, 5)
+            if policy == "cvs":
+                lm, la = _val_elbo_sums(state.params, k1, val_stack)
+                crit = (lm + la) * 2.0
+                improve = crit <= best_c  # driver: best >= crit updates (ties)
+                rec_epoch = epoch
+            elif policy == "proc":
+                lm, la = _val_elbo_sums(state.params, k1, val_stack)
+                crit = lm + la
+                improve = crit < best_c
+                rec_epoch = epoch + 1
+            elif policy == "proc_heldout":
+                crit = jnp.mean(mets["loss_main"])  # recorded, not selective
+                improve = jnp.asarray(True)
+                rec_epoch = epoch + 1
+            else:  # challenge: mean of the epoch's [main, aux] per-batch losses
+                crit = (jnp.mean(mets["loss_main"]) + jnp.mean(mets["loss_aux"])) / 2.0
+                improve = crit < best_c
+                rec_epoch = epoch
+
+            best_p = jax.tree.map(
+                lambda p, b: jnp.where(improve, p, b), state.params, best_p
+            )
+            best_c = jnp.where(improve, crit, best_c)
+            best_e = jnp.where(improve, rec_epoch, best_e).astype(jnp.int32)
+            return (state, eval_key, best_p, best_c, best_e), {
+                "loss_main": mets["loss_main"],
+                "loss_aux": mets["loss_aux"],
+            }
+
+        E = perms.shape[0]
+        carry0 = (state, eval_key, *best0)
+        (state, _, bp, bc, be), hist = jax.lax.scan(
+            epoch_body, carry0, (perms, aux_mult, jnp.arange(E, dtype=jnp.int32))
+        )
+        return EnsembleResult(state, bp, bc, be, hist)
+
+    val_axis = 0 if needs_val else None
+    run = jax.jit(
+        jax.vmap(run_one, in_axes=(0, 0, 0, val_axis, 0, None, 0)),
+    )
+
+    def run_wrapped(states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult):
+        if needs_val and val_stacks is None:
+            raise ValueError(f"policy {policy!r} requires val_stacks")
+        if not needs_val:
+            val_stacks = None
+        return run(states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult)
+
+    def init_state(params, key) -> SVIState:
+        return SVIState(params, optim.init(params), key)
+
+    return EnsembleRunner(init_state, run_wrapped)
+
+
+def stack_members(trees):
+    """Stack a list of congruent pytrees along a new leading member axis."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
+
+
+def member_slice(tree, i: int):
+    """Extract member ``i`` from a stacked pytree (host-side convenience)."""
+    return jax.tree.map(lambda x: x[i], tree)

@@ -82,13 +82,15 @@ def shared_adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    lr_scales=None,
 ):
     """One torch.optim.Adam step on the parameters whose ``mask`` leaf is True.
 
     Masked-out leaves are untouched — params, moments, AND step count — which
     is exactly torch's behavior for params with ``grad is None`` (not in this
     loss's graph). Masks are static Python bools, so the skipped leaves cost
-    nothing inside jit.
+    nothing inside jit. ``lr_scales`` is an optional congruent pytree of
+    static per-leaf learning-rate multipliers (the prior-lr knob).
     """
     p_leaves, treedef = jax.tree_util.tree_flatten(params)
     g_leaves = treedef.flatten_up_to(grads)
@@ -96,10 +98,15 @@ def shared_adam_update(
     n_leaves = treedef.flatten_up_to(slots.nu)
     c_leaves = treedef.flatten_up_to(slots.count)
     mask_leaves = treedef.flatten_up_to(mask)
+    scale_leaves = (
+        treedef.flatten_up_to(lr_scales)
+        if lr_scales is not None
+        else [1.0] * len(p_leaves)
+    )
 
     new_p, new_m, new_n, new_c = [], [], [], []
-    for p, g, m, n, c, mk in zip(
-        p_leaves, g_leaves, m_leaves, n_leaves, c_leaves, mask_leaves
+    for p, g, m, n, c, mk, sc in zip(
+        p_leaves, g_leaves, m_leaves, n_leaves, c_leaves, mask_leaves, scale_leaves
     ):
         if not mk:
             new_p.append(p), new_m.append(m), new_n.append(n), new_c.append(c)
@@ -110,7 +117,7 @@ def shared_adam_update(
         t = c2.astype(jnp.float32)
         m_hat = m2 / (1.0 - jnp.power(b1, t))
         n_hat = n2 / (1.0 - jnp.power(b2, t))
-        new_p.append(p - lr * m_hat / (jnp.sqrt(n_hat) + eps))
+        new_p.append(p - (lr * sc) * m_hat / (jnp.sqrt(n_hat) + eps))
         new_m.append(m2), new_n.append(n2), new_c.append(c2)
 
     unflat = jax.tree_util.tree_unflatten
@@ -133,13 +140,34 @@ def make_optimizers(spec: ModelSpec, params, lr: float):
 
 
 def make_dual_optimizer(
-    spec: ModelSpec, params_example, lr: float, mode: str = "shared"
+    spec: ModelSpec,
+    params_example,
+    lr: float,
+    mode: str = "shared",
+    prior_lr_mult: float = 1.0,
 ) -> DualOptimizer:
+    """``prior_lr_mult`` scales the conditional-prior nets' learning rate in
+    the MAIN update (the only loss that touches them). Diagnosed round-2
+    failure mode: the aux-pressured posterior z_u constellation drifts faster
+    than p(z_u|u) can track, collapsing PRIOR-mode reconstruction at unlucky
+    seeds (RESULTS.md round-2 CVS/challenge seed tables); a >1 multiplier
+    lets the prior nets keep pace. Default 1.0 = exact Pyro/torch parity."""
     if mode == "shared":
         main_mask, aux_mask = param_masks(spec, params_example)
+        lr_scales = None
+        if prior_lr_mult != 1.0:
+            lr_scales = {
+                group: jax.tree.map(
+                    lambda _: prior_lr_mult if group == "priors" else 1.0,
+                    params_example[group],
+                )
+                for group in params_example
+            }
 
         def update(grads, slots, params, mask):
-            return shared_adam_update(grads, slots, params, mask, lr)
+            return shared_adam_update(
+                grads, slots, params, mask, lr, lr_scales=lr_scales
+            )
 
         return DualOptimizer(
             init=shared_adam_init,
@@ -147,6 +175,8 @@ def make_dual_optimizer(
             update_aux=lambda g, s, p: update(g, s, p, aux_mask),
         )
     if mode == "split":
+        if prior_lr_mult != 1.0:
+            raise ValueError("prior_lr_mult requires optimizer='shared'")
         opt_main, opt_aux = make_optimizers(spec, params_example, lr)
 
         def upd_main(grads, opt, params):
@@ -207,6 +237,7 @@ def make_train_step(
     params_example,
     num_particles: int = 1,
     optimizer: str = "shared",
+    prior_lr_mult: float = 1.0,
 ):
     """Returns (init_state_fn, jitted train_step, jitted train_epoch).
 
@@ -217,7 +248,9 @@ def make_train_step(
     semantics; the reference runs 1, config_cvs.py:47). ``optimizer``:
     'shared' (Pyro-parity single per-param Adam) | 'split' (round-1 behavior).
     """
-    optim = make_dual_optimizer(spec, params_example, lr, optimizer)
+    optim = make_dual_optimizer(
+        spec, params_example, lr, optimizer, prior_lr_mult=prior_lr_mult
+    )
 
     def init_state(params, key) -> SVIState:
         return SVIState(params, optim.init(params), key)
@@ -239,6 +272,70 @@ def make_train_step(
         return jax.lax.scan(_step, state, batches)
 
     return init_state, train_step, train_epoch
+
+
+def make_eval_epoch(spec: ModelSpec, ts):
+    """Fused whole-split evaluation: ONE dispatch per (split, mode).
+
+    Computes exactly what the ``eval_split`` host loop computes per minibatch
+    — per-loss ELBO (sum over batches of loss/n), recon L1 (sum of per-batch
+    masked means / total count), and each label metric over the full split —
+    but as a single jitted ``lax.scan`` over the stacked minibatches, so an
+    eval epoch costs one host dispatch instead of 3×n_batches jitted calls
+    with a float() sync each (round-2 weak #4; the reference's
+    ``input_pred_stats`` is a per-batch host loop, /root/reference/
+    training_cvs.py:43-144). RNG keying matches ``make_eval_fns`` exactly:
+    k1 (split into main/aux) for losses, k2 for recon, k3 for the classifier,
+    identical for every batch — with per-sample draw keying this reproduces
+    the host loop's numbers to f32 precision (tested).
+
+    Returns ``eval_epoch(params, key, batches, is_post) -> stats`` where
+    ``batches`` is a ``stacked_minibatches(split, bs, shuffle=False)`` dict
+    (device-resident; the driver caches it once per split) and ``stats`` is a
+    small dict of scalars: elbo_main, elbo_aux, l1_sum, n, and one summed
+    statistic per label.
+    """
+    ts = jnp.asarray(ts)
+
+    @functools.partial(jax.jit, static_argnames=("is_post",))
+    def eval_epoch(params, key, batches, is_post: bool):
+        k1, k2, k3 = jax.random.split(key, 3)
+        ka, kb = jax.random.split(k1)
+
+        def one(carry, batch):
+            n = jnp.sum(batch["mask"])
+            nn = jnp.maximum(n, 1.0)
+            lm, _ = elbo_main(spec, params, ka, batch, ts)
+            la = elbo_aux(spec, params, kb, batch)
+            r = recon(spec, params, k2, batch, ts, is_post)
+            p = classifier(
+                spec, params, k3, batch["observations"], batch.get("sample_id")
+            )
+            m = batch["mask"]
+            label_sums = {}
+            for label in spec.labels:
+                pred, target = p[label.name], batch[label.name]
+                if label.kind == "bernoulli":
+                    s = jnp.sum(jnp.all(pred == target, axis=-1) * m)
+                elif label.kind == "onehot":
+                    s = jnp.sum(
+                        (jnp.argmax(pred, -1) == jnp.argmax(target, -1)) * m
+                    )
+                else:  # continuous: summed per-sample mean squared error
+                    s = jnp.sum(jnp.mean((pred - target) ** 2, axis=-1) * m)
+                label_sums[label.name] = s
+            return carry, {
+                "elbo_main": lm / nn,
+                "elbo_aux": la / nn,
+                "l1": r["l1"],
+                "n": n,
+                "labels": label_sums,
+            }
+
+        _, ys = jax.lax.scan(one, None, batches)
+        return jax.tree.map(jnp.sum, ys)
+
+    return eval_epoch
 
 
 def make_eval_fns(spec: ModelSpec, ts):

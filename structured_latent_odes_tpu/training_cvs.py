@@ -21,11 +21,11 @@ from structured_latent_odes_tpu.data import cvs as cvs_data
 from structured_latent_odes_tpu.data.configs import load_cvs_config
 from structured_latent_odes_tpu.data.loader import normalize_split, to_model_layout
 from structured_latent_odes_tpu.data.transforms import create_transforms
-from structured_latent_odes_tpu.models import cvs_spec, init_params
+from structured_latent_odes_tpu.models import cvs_spec, init_params_fast
 from structured_latent_odes_tpu.train import artifacts, checkpoint
 from structured_latent_odes_tpu.train.driver import final_test_eval, run_training_epochs
 from structured_latent_odes_tpu.train.backend import make_training_backend
-from structured_latent_odes_tpu.train.svi import make_eval_fns
+from structured_latent_odes_tpu.train.svi import make_eval_epoch, make_eval_fns
 from structured_latent_odes_tpu.utils import plotting, set_seed
 
 log = logging.getLogger("slode")
@@ -57,7 +57,7 @@ def train(config):
     times = np.arange(0.0, config.seq_len * config.delta_t, config.delta_t, dtype=np.float32)
     spec = cvs_spec(config)
     key, k_init, k_train, k_eval = jax.random.split(key, 4)
-    params = init_params(k_init, spec)
+    params = init_params_fast(k_init, spec)
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     print(f"Model: {config.model} - with {n_params} parameters.")
 
@@ -109,6 +109,7 @@ def train(config):
         checkpoint_every=config.get("checkpoint_every", 0),
         resume=config.get("resume", False),
         profile_dir=config.get("profile_dir"),
+        fast_eval=make_eval_epoch(spec, times),
     )
 
     # final test on best params (post + prior), with artifact dump
@@ -167,6 +168,13 @@ def parse_args(argv=None):
                    help="anneal the aux multiplier to this value")
     p.add_argument("--aux-anneal-epochs", type=int, default=None,
                    help="epochs over which to anneal the aux multiplier")
+    p.add_argument("--aux-mult-start", type=float, default=None,
+                   help="warm the aux multiplier up from this value")
+    p.add_argument("--aux-warmup-epochs", type=int, default=None,
+                   help="epochs over which to warm the aux multiplier up")
+    p.add_argument("--prior-lr-mult", type=float, default=None,
+                   help="conditional-prior net learning-rate multiplier "
+                        "(>1 keeps p(z_u|u) tracking the posterior)")
     p.add_argument("--aux-loss-multiplier", type=float, default=None,
                    help="aux classifier site scale (reference: 46; 460 "
                         "reliably disentangles subtle inputs, see PARITY.md)")
@@ -223,6 +231,8 @@ def main(argv=None):
     config.eval_every = args.eval_every
     config.aux_mult_final = args.aux_mult_final
     config.aux_anneal_epochs = args.aux_anneal_epochs
+    config.aux_mult_start = args.aux_mult_start
+    config.aux_warmup_epochs = args.aux_warmup_epochs
     config.checkpoint_every = args.checkpoint_every
     config.resume = args.resume
     config.profile_dir = args.profile_dir

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_cvs_driver_end_to_end(tmp_path):
     from structured_latent_odes_tpu.training_cvs import main

@@ -1,0 +1,203 @@
+"""Ensemble (vmapped multi-run) trainer: member parity with sequential runs.
+
+Each ensemble member must reproduce the sequential driver's training run at
+the same seed — same shuffles, same device key chain, same best-model
+selection — so sweep results are interchangeable with CLI-run results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structured_latent_odes_tpu.data.configs import load_cvs_config
+from structured_latent_odes_tpu.data.loader import stacked_minibatches
+from structured_latent_odes_tpu.models import cvs_spec, init_params
+from structured_latent_odes_tpu.train.driver import run_training_epochs
+from structured_latent_odes_tpu.train.ensemble import (
+    aux_mult_schedule,
+    build_epoch_perms,
+    make_ensemble_runner,
+    stack_members,
+)
+from structured_latent_odes_tpu.train.svi import make_eval_fns, make_train_step
+from structured_latent_odes_tpu.utils import set_seed
+
+T = 16
+N_TRAIN, N_VAL, BS = 10, 6, 4
+
+
+def _tiny_config(num_epochs, anneal=False):
+    config = load_cvs_config()
+    config.seq_len = T
+    config.mini_batch_size = BS
+    config.num_epochs = num_epochs
+    if anneal:
+        config.aux_mult_final = 4.6
+        config.aux_anneal_epochs = max(1, num_epochs - 1)
+    else:
+        config.aux_mult_final = None
+        config.aux_anneal_epochs = None
+    return config
+
+
+def _synthetic_splits():
+    r = np.random.RandomState(99)
+
+    def split(n):
+        return {
+            "observations": r.rand(n, 3, T).astype(np.float32),
+            "iext": (r.rand(n, 1) > 0.5).astype(np.float32),
+            "rtpr": (r.rand(n, 1) > 0.5).astype(np.float32),
+        }
+
+    return {"train": split(N_TRAIN), "val": split(N_VAL)}
+
+
+def _sequential_run(config, splits, seed, policy):
+    """The CLI driver's training loop at this seed (key chain included)."""
+    spec = cvs_spec(config, n_time=T)
+    key = set_seed(seed)
+    key, k_init, k_train, k_eval = jax.random.split(key, 4)
+    params = init_params(k_init, spec)
+    ts = jnp.arange(float(T))
+    init_state, train_step, train_epoch = make_train_step(
+        spec, ts, config.learning_rate, params
+    )
+    state = init_state(params, k_train)
+
+    if policy == "cvs":
+        def select_best(epoch, val, train_s, best, params_now, epoch_losses):
+            val_elbo = sum(val["post"].elbo) * len(val["post"].elbo)
+            if best["criterion"] >= val_elbo:
+                return {"params": params_now, "epoch": epoch, "criterion": val_elbo}
+            return best
+    else:  # challenge policy: best mean TRAIN epoch loss
+        def select_best(epoch, val, train_s, best, params_now, epoch_losses):
+            crit = float(np.mean(epoch_losses)) if epoch_losses else np.inf
+            if crit < best["criterion"]:
+                return {"params": params_now, "epoch": epoch, "criterion": crit}
+            return best
+
+    state, best = run_training_epochs(
+        spec=spec,
+        state=state,
+        train_step=train_step,
+        eval_fns=make_eval_fns(spec, ts),
+        splits=splits,
+        config=config,
+        rng=np.random.RandomState(seed),
+        eval_key=k_eval,
+        select_best=select_best,
+        eval_train_stats=False,
+        train_epoch=train_epoch,
+    )
+    return state, best
+
+
+def _ensemble_run(config, splits, seeds, policy):
+    spec = cvs_spec(config, n_time=T)
+    ts = jnp.arange(float(T))
+    members = []
+    for seed in seeds:
+        key = set_seed(seed)
+        key, k_init, k_train, k_eval = jax.random.split(key, 4)
+        params = init_params(k_init, spec)
+        perms, mask = build_epoch_perms(
+            N_TRAIN, BS, config.num_epochs, np.random.RandomState(seed)
+        )
+        members.append(
+            {"params": params, "k_train": k_train, "k_eval": k_eval,
+             "perms": perms, "mask": mask,
+             "aux_mult": aux_mult_schedule(config, config.num_epochs)}
+        )
+    runner = make_ensemble_runner(
+        spec, ts, config.learning_rate, members[0]["params"], policy=policy
+    )
+    states = stack_members(
+        [runner.init_state(m["params"], m["k_train"]) for m in members]
+    )
+    eval_keys = jnp.stack([m["k_eval"] for m in members])
+    train_splits = stack_members([splits["train"]] * len(seeds))
+    val_stacks = (
+        stack_members(
+            [stacked_minibatches(splits["val"], BS, shuffle=False)] * len(seeds)
+        )
+        if policy in ("cvs", "proc")
+        else None
+    )
+    perms = jnp.asarray(np.stack([m["perms"] for m in members]))
+    mask = jnp.asarray(members[0]["mask"])
+    aux = jnp.asarray(np.stack([m["aux_mult"] for m in members]))
+    return runner.run(states, eval_keys, train_splits, val_stacks, perms, mask, aux)
+
+
+def _assert_member_matches(result, i, state_seq, best_seq):
+    for a, b in zip(
+        jax.tree.leaves(state_seq.params),
+        jax.tree.leaves(jax.tree.map(lambda x: x[i], result.state.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6)
+    assert int(result.best_epoch[i]) == int(best_seq["epoch"])
+    np.testing.assert_allclose(
+        float(result.best_crit[i]), float(best_seq["criterion"]), rtol=2e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(best_seq["params"]),
+        jax.tree.leaves(jax.tree.map(lambda x: x[i], result.best_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("anneal", [False, True])
+def test_ensemble_members_match_sequential_cvs(anneal):
+    """Two-member ensemble (val-ELBO policy, optionally annealed aux scale)
+    reproduces each sequential driver run: final params, best criterion,
+    best epoch, best params."""
+    config = _tiny_config(num_epochs=3, anneal=anneal)
+    splits = _synthetic_splits()
+    seeds = [3, 4]
+    result = _ensemble_run(config, splits, seeds, "cvs")
+    for i, seed in enumerate(seeds):
+        state_seq, best_seq = _sequential_run(config, splits, seed, "cvs")
+        _assert_member_matches(result, i, state_seq, best_seq)
+
+
+@pytest.mark.slow
+def test_ensemble_members_match_sequential_challenge_policy():
+    """Train-loss selection (challenge policy) parity — no val eval at all."""
+    config = _tiny_config(num_epochs=3)
+    splits = _synthetic_splits()
+    seeds = [7]
+    result = _ensemble_run(config, splits, seeds, "challenge")
+    state_seq, best_seq = _sequential_run(config, splits, 7, "challenge")
+    _assert_member_matches(result, 0, state_seq, best_seq)
+
+
+def test_ensemble_heldout_policy_overwrites():
+    """proc_heldout policy: best params == final params, epoch == E."""
+    config = _tiny_config(num_epochs=2)
+    splits = _synthetic_splits()
+    result = _ensemble_run(config, splits, [5], "proc_heldout")
+    assert int(result.best_epoch[0]) == config.num_epochs + 1
+    for a, b in zip(
+        jax.tree.leaves(result.state.params), jax.tree.leaves(result.best_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_epoch_perms_matches_stacked_minibatches():
+    """Permutation builder consumes the host RNG exactly like the driver's
+    stacked_minibatches — same composition, same padding."""
+    rng1 = np.random.RandomState(0)
+    rng2 = np.random.RandomState(0)
+    perms, mask = build_epoch_perms(N_TRAIN, BS, 1, rng1)
+    split = _synthetic_splits()["train"]
+    for e in range(2):
+        stacked = stacked_minibatches(split, BS, shuffle=True, rng=rng2)
+        np.testing.assert_array_equal(stacked["sample_id"], perms[e])
+        np.testing.assert_array_equal(stacked["mask"], mask)
+        np.testing.assert_array_equal(
+            stacked["observations"], split["observations"][perms[e]]
+        )

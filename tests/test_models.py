@@ -52,6 +52,7 @@ def test_spec_dims():
     assert ch.latent_dim == 15 and ch.z_u_dim == 10 and ch.label_input_dim == 2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dataset", ["cvs", "proc", "challenge"])
 @pytest.mark.parametrize("model", ["Mechanistic", "MechanisticGauss"])
 def test_all_six_models_run(dataset, model):
@@ -110,6 +111,7 @@ def test_all_six_models_run(dataset, model):
     assert r2["z"].shape == (4, spec.latent_dim)
 
 
+@pytest.mark.slow
 def test_padding_mask_invariance():
     """A padded batch produces EXACTLY the unpadded loss (and recon), because
     every draw is keyed per-sample (prob.sample_normal_ps) — batch size and
@@ -142,6 +144,7 @@ def test_padding_mask_invariance():
     np.testing.assert_allclose(loss_pad2, loss_ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_batch_size_independent_eval_draws():
     """With explicit sample_id, a sample's recon is identical whether it is
     evaluated in one big batch or in a 2-batch split (sample_normal_ps)."""
@@ -186,6 +189,7 @@ def test_param_masks_structure():
     assert jax.tree.all(jax.tree.map(lambda x: x is False, main["aux"]))
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     """A few SVI steps on a fixed batch must reduce the main loss."""
     spec, config = _tiny_cvs_spec()
@@ -215,6 +219,7 @@ def test_eval_fns_run():
     assert np.isfinite(float(r["l1"]))
 
 
+@pytest.mark.slow
 def test_aux_mult_override_matches_spec_constant():
     """batch['aux_mult'] == spec constant must reproduce the same losses."""
     spec, _ = _tiny_cvs_spec()
@@ -232,3 +237,24 @@ def test_aux_mult_override_matches_spec_constant():
     batch3 = dict(batch, aux_mult=jnp.asarray(10 * spec.aux_loss_multiplier))
     a_big = elbo_aux(spec, params, key, batch3)
     assert not np.allclose(a_ref, a_big)
+
+
+def test_init_params_fast_matches_eager():
+    """The one-compile initializer is numerically identical to the eager one
+    (same traced ops, same keys) — it exists because eager init costs ~1s/op
+    over a remote-tunnel backend."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, init_params, init_params_fast
+
+    config = load_cvs_config()
+    config.seq_len = 16
+    spec = cvs_spec(config, n_time=16)
+    key = jax.random.key(3)
+    a = init_params(key, spec)
+    b = init_params_fast(key, spec)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        # jit fuses the scale/shift arithmetic differently -> ~1e-10 f32
+        # wobble; same draws, same distribution
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-9
+        )

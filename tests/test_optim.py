@@ -6,6 +6,7 @@ moments/step-count advance on every loss that touches it)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from structured_latent_odes_tpu.train.svi import shared_adam_init, shared_adam_update
@@ -28,6 +29,7 @@ def _torch_dual_adam(params0, main_grads, aux_grads, main_mask, aux_mask, steps)
     return {k: p.detach().numpy() for k, p in tparams.items()}
 
 
+@pytest.mark.slow
 def test_shared_adam_matches_torch_dual_loss():
     rng = np.random.RandomState(0)
     params0 = {
@@ -77,6 +79,7 @@ def test_masked_out_leaves_untouched():
     assert not np.allclose(np.asarray(new_params["a"]), np.ones(3))
 
 
+@pytest.mark.slow
 def test_split_vs_shared_differ_on_shared_params():
     """Sanity: the two optimizer modes genuinely differ for a parameter
     receiving both gradient streams (this is the round-1 deviation)."""
@@ -107,3 +110,80 @@ def test_split_vs_shared_differ_on_shared_params():
     enc_shared = jax.tree.leaves(results["shared"]["encoder"])[0]
     enc_split = jax.tree.leaves(results["split"]["encoder"])[0]
     assert not np.allclose(np.asarray(enc_shared), np.asarray(enc_split))
+
+
+@pytest.mark.slow
+def test_prior_lr_mult_scales_only_prior_updates():
+    """prior_lr_mult must change ONLY the conditional-prior nets' update —
+    encoder/decoder/aux updates stay bit-identical (the knob is scoped to the
+    'priors' group in the main loss)."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, init_params
+    from structured_latent_odes_tpu.train.svi import make_train_step
+
+    T, B = 16, 6
+    config = load_cvs_config()
+    config.seq_len = T
+    spec = cvs_spec(config, n_time=T)
+    params = init_params(jax.random.key(0), spec)
+    r = np.random.RandomState(2)
+    batch = {
+        "observations": jnp.asarray(r.rand(B, 3, T).astype(np.float32)),
+        "iext": jnp.asarray((r.rand(B, 1) > 0.5).astype(np.float32)),
+        "rtpr": jnp.asarray((r.rand(B, 1) > 0.5).astype(np.float32)),
+        "mask": jnp.ones((B,), jnp.float32),
+    }
+    ts = jnp.arange(float(T))
+
+    out = {}
+    for mult in (1.0, 8.0):
+        init_state, step, _ = make_train_step(
+            spec, ts, LR, params, prior_lr_mult=mult
+        )
+        state = init_state(jax.tree.map(jnp.copy, params), jax.random.key(5))
+        state, _m = step(state, batch)
+        out[mult] = jax.tree.map(np.asarray, state.params)
+
+    for group in ("encoder", "decoder", "aux", "aux_std"):
+        for a, b in zip(
+            jax.tree.leaves(out[1.0][group]), jax.tree.leaves(out[8.0][group])
+        ):
+            np.testing.assert_array_equal(a, b)
+    diffs = [
+        float(np.abs(a - b).max())
+        for a, b in zip(
+            jax.tree.leaves(out[1.0]["priors"]), jax.tree.leaves(out[8.0]["priors"])
+        )
+    ]
+    assert max(diffs) > 0, "prior updates did not change with prior_lr_mult"
+
+
+def test_aux_mult_schedule_warmup_and_anneal():
+    """Warm-up + anneal schedule endpoints, and ensemble/driver parity."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.train.driver import epoch_aux_mult
+    from structured_latent_odes_tpu.train.ensemble import aux_mult_schedule
+
+    config = load_cvs_config()
+    config.aux_loss_multiplier = 46.0
+    config.aux_mult_start = 0.0
+    config.aux_warmup_epochs = 4
+    config.aux_mult_final = 10.0
+    config.aux_anneal_epochs = 8
+    sched = aux_mult_schedule(config, num_epochs=12)
+    assert sched[0] == 0.0
+    np.testing.assert_allclose(sched[4], 46.0 * 0.5 + 10.0 * 0.5)
+    np.testing.assert_allclose(sched[8:], 10.0)
+    for e in range(13):
+        np.testing.assert_allclose(sched[e], epoch_aux_mult(config, e), rtol=1e-6)
+
+    # no schedule configured -> driver returns None, ensemble uses the base
+    config2 = load_cvs_config()
+    config2.aux_mult_start = None
+    config2.aux_warmup_epochs = None
+    config2.aux_mult_final = None
+    config2.aux_anneal_epochs = None
+    assert epoch_aux_mult(config2, 3) is None
+    np.testing.assert_allclose(
+        aux_mult_schedule(config2, 2), config2.aux_loss_multiplier
+    )

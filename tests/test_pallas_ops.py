@@ -75,3 +75,59 @@ def test_semilinear_pallas_backend():
     s1 = solve_semilinear(prod_degr, x0, ts, backend="assoc")
     s2 = solve_semilinear(prod_degr, x0, ts, backend="pallas")
     assert np.allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_auto_backend_dispatch():
+    """backend='auto' picks by static shape at trace time: assoc off-TPU
+    always; on TPU, pallas only in the wide HBM-bound regime. Numerics match
+    the assoc path regardless of the choice."""
+    import numpy as np
+
+    from structured_latent_odes_tpu.ode.semilinear import (
+        _PALLAS_MIN_LANES,
+        _auto_scan_backend,
+        solve_semilinear,
+    )
+
+    wide = jnp.zeros((_PALLAS_MIN_LANES // 8, 20, 8))
+    narrow = jnp.zeros((16, 20, 8))
+    if jax.default_backend() == "tpu":
+        assert _auto_scan_backend(wide) == "pallas"
+        assert _auto_scan_backend(narrow) == "assoc"
+    else:
+        assert _auto_scan_backend(wide) == "assoc"
+
+    r = np.random.RandomState(0)
+    B, T, D = 4, 9, 3
+    a_tab = jnp.asarray(r.rand(B, T - 1, 2, D).astype(np.float32))
+    d_tab = jnp.asarray(r.rand(B, T - 1, 2, D).astype(np.float32))
+    x0 = jnp.asarray(r.rand(B, D).astype(np.float32))
+    ts = jnp.arange(float(T))
+    prod_degr = lambda stage_ts: (a_tab, d_tab)
+    s_auto = solve_semilinear(prod_degr, x0, ts, backend="auto")
+    s_ref = solve_semilinear(prod_degr, x0, ts, backend="assoc")
+    np.testing.assert_allclose(np.asarray(s_auto), np.asarray(s_ref), atol=1e-6)
+
+
+def test_auto_backend_via_model_spec():
+    """spec.backend='semilinear_auto' solves and matches the default."""
+    import numpy as np
+
+    from structured_latent_odes_tpu.nn.ode_model import (
+        OdeModelSpec,
+        ode_model_init,
+        solve_ode,
+    )
+
+    base = OdeModelSpec(latent_dim=15, ode_state_dim=5, ode_hidden_dim=25)
+    auto = OdeModelSpec(
+        latent_dim=15, ode_state_dim=5, ode_hidden_dim=25, backend="semilinear_auto"
+    )
+    params = ode_model_init(jax.random.key(0), base)
+    z = jax.random.normal(jax.random.key(1), (6, 15))
+    ts = jnp.arange(0.0, 17.0)
+    np.testing.assert_allclose(
+        np.asarray(solve_ode(auto, params, z, ts)),
+        np.asarray(solve_ode(base, params, z, ts)),
+        atol=1e-6,
+    )

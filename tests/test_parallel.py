@@ -34,6 +34,7 @@ def _spec_and_batch(B=16, T=16):
     return spec, config, batch
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_on_mesh():
     spec, config, batch = _spec_and_batch()
     mesh = make_mesh()
@@ -52,6 +53,7 @@ def test_dp_train_step_runs_on_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_loss():
     """The sharded step must compute the same loss/updates as single-device."""
     spec, config, batch = _spec_and_batch()
@@ -79,6 +81,7 @@ def test_pad_batch_to_multiple():
     assert out["mask"].sum() == 13
 
 
+@pytest.mark.slow
 def test_dp_epoch_scan_matches_single_device():
     """The DP whole-epoch scan (batch axis sharded over the mesh) equals the
     single-device epoch scan bit-for-bit given the same keys and data."""
@@ -117,6 +120,7 @@ def test_dp_epoch_scan_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cvs_driver_data_parallel(tmp_path):
     """The CVS CLI trains on an 8-device data-parallel mesh end to end."""
     import os

@@ -82,6 +82,7 @@ def test_affine_coeffs_constant_case():
     assert np.allclose(B, hv * av - hv**2 * dv * av / 2)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_assoc_scan():
     ts = jnp.linspace(0.0, 3.0, 31)
     x0 = jnp.ones((2, 3)) * 0.5

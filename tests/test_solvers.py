@@ -159,6 +159,7 @@ def test_chunked_remat_matches_plain():
     assert np.allclose(g_plain, g_chunk, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_adaptive_backends_reachable_from_model_path():
     """OdeModelSpec(backend='adaptive'/'adaptive_per_sample') solves and
     differentiates through the SAME model surface training uses, agreeing
@@ -193,6 +194,7 @@ def test_adaptive_backends_reachable_from_model_path():
     assert np.all(np.isfinite(np.asarray(g))) and float(jnp.sum(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_adaptive_backend_through_elbo():
     """The full ELBO trains with an adaptive decoder backend."""
     import jax

@@ -62,6 +62,7 @@ def test_affine_recurrence_timepar_matches_single(t_steps):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_semilinear_timepar_full_solve_and_grads():
     """The in-shard dynamics-eval + scan path equals the single-device solve,
     forward and backward (params gradients)."""
@@ -113,6 +114,7 @@ def test_model_backend_semilinear_timepar():
         solve_ode(tp, params, z, ts)
 
 
+@pytest.mark.slow
 def test_timepar_composes_with_particle_vmap():
     """--num-particles > 1 vmaps the ELBO over particles; the timepar solve
     (shard_map inside) must batch correctly under that vmap."""
@@ -130,6 +132,39 @@ def test_timepar_composes_with_particle_vmap():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_backend_clears_stale_time_ctx():
+    """A --time-parallel run installs a process-global mesh context; the NEXT
+    in-process backend build must not silently inherit it (ADVICE r2) — while
+    a user-scoped time_sharding context must survive backend builds."""
+    from structured_latent_odes_tpu.parallel import timepar
+    from structured_latent_odes_tpu.train.backend import make_training_backend
+
+    T = 16
+    config = load_cvs_config()
+    config.seq_len = T
+    config.time_parallel = 4
+    config.data_parallel = 2
+    config.ode_backend = "semilinear_timepar"
+    spec_tp = cvs_spec(config, n_time=T)
+    params = init_params(jax.random.key(0), spec_tp)
+    ts = jnp.arange(float(T))
+
+    make_training_backend(spec_tp, ts, config, params)
+    assert timepar.current_time_sharding() is not None
+
+    config2 = load_cvs_config()
+    config2.seq_len = T
+    spec_sd = cvs_spec(config2, n_time=T)
+    make_training_backend(spec_sd, ts, config2, params)
+    assert timepar.current_time_sharding() is None, "stale mesh ctx leaked"
+
+    # user-scoped ambient context is NOT this module's to clear
+    with time_sharding(_mesh_2d(), time_axis="model", batch_axis=None):
+        user_ctx = timepar.current_time_sharding()
+        make_training_backend(spec_sd, ts, config2, params)
+        assert timepar.current_time_sharding() is user_ctx
+
+
 def test_time_parallel_rejects_conflicting_backend():
     config = load_cvs_config()
     config.time_parallel = 2
@@ -138,6 +173,7 @@ def test_time_parallel_rejects_conflicting_backend():
         cvs_spec(config, n_time=16)
 
 
+@pytest.mark.slow
 def test_cvs_driver_time_parallel(tmp_path):
     """The CVS CLI trains end to end with --time-parallel (sequence
     parallelism over the mesh's time axis) composed with --data-parallel."""
@@ -166,10 +202,14 @@ def test_cvs_driver_time_parallel(tmp_path):
     assert np.isfinite(out["test_post"].l1)
 
 
-def test_train_step_2d_mesh_matches_single_device():
+@pytest.mark.slow
+@pytest.mark.parametrize("num_particles", [1, 2])
+def test_train_step_2d_mesh_matches_single_device(num_particles):
     """Full dual-loss SVI step on a (data=2, time=4) mesh — batch sharded
     over 'data', the ODE horizon sequence-parallel over 'model' — matches the
-    single-device step's loss and updated params."""
+    single-device step's loss and updated params. ``num_particles=2`` covers
+    the production composition --num-particles with --data-parallel: the
+    particle vmap wraps a shard_map whose batch is sharded over 'data'."""
     from structured_latent_odes_tpu.parallel.train import make_dp_train_step
     from structured_latent_odes_tpu.train.svi import make_train_step
 
@@ -190,13 +230,17 @@ def test_train_step_2d_mesh_matches_single_device():
     }
     ts = jnp.arange(float(T))
 
-    init_sd, step_sd, _ = make_train_step(spec_sd, ts, 1e-3, params)
+    init_sd, step_sd, _ = make_train_step(
+        spec_sd, ts, 1e-3, params, num_particles=num_particles
+    )
     state_sd = init_sd(jax.tree.map(jnp.copy, params), jax.random.key(7))
     state_sd, m_sd = step_sd(state_sd, {k: jnp.asarray(v) for k, v in batch.items()})
 
     mesh = _mesh_2d(n_data=2, n_time=4)
     with time_sharding(mesh, time_axis="model", batch_axis="data"):
-        init_tp, step_tp, _ = make_dp_train_step(spec_tp, ts, 1e-3, params, mesh)
+        init_tp, step_tp, _ = make_dp_train_step(
+            spec_tp, ts, 1e-3, params, mesh, num_particles=num_particles
+        )
         state_tp = init_tp(jax.tree.map(jnp.copy, params), jax.random.key(7))
         sb = shard_batch(mesh, batch)
         state_tp, m_tp = step_tp(state_tp, sb)

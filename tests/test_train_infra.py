@@ -189,6 +189,7 @@ def _tiny_cvs_training(tmp_path, num_epochs, checkpoint_every=0, resume=False):
     return state
 
 
+@pytest.mark.slow
 def test_resume_is_batch_exact(tmp_path):
     """A run checkpointed at epoch 2 and resumed to epoch 4 must produce
     bit-identical parameters to an uninterrupted 4-epoch run: the host
@@ -256,6 +257,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_eval_split_batch_size_invariant():
     """eval_split recon outputs and label metrics are identical for any eval
     batch size (per-split site keys + per-sample RNG ids)."""
@@ -284,6 +286,49 @@ def test_eval_split_batch_size_invariant():
     )
     np.testing.assert_allclose(s_small.recon["z"], s_full.recon["z"], rtol=1e-5, atol=1e-6)
     assert s_small.label_metrics == s_full.label_metrics
+
+
+@pytest.mark.parametrize(
+    "is_post", [True, pytest.param(False, marks=pytest.mark.slow)]
+)
+def test_fused_eval_epoch_matches_host_loop(is_post):
+    """make_eval_epoch (one fused dispatch per split/mode) reproduces the
+    eval_split host loop's elbo / l1 / label metrics — same RNG keying, so
+    best-model selection under the fast path is unchanged."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.data.loader import stacked_minibatches
+    from structured_latent_odes_tpu.models import cvs_spec, init_params
+    from structured_latent_odes_tpu.train.driver import _stats_from_fused, eval_split
+    from structured_latent_odes_tpu.train.svi import make_eval_epoch, make_eval_fns
+
+    T, bs = 16, 4
+    config = load_cvs_config()
+    config.seq_len = T
+    spec = cvs_spec(config, n_time=T)
+    params = init_params(jax.random.key(0), spec)
+    r = np.random.RandomState(5)
+    split = {
+        "observations": r.rand(10, 3, T).astype(np.float32),
+        "iext": (r.rand(10, 1) > 0.5).astype(np.float32),
+        "rtpr": (r.rand(10, 1) > 0.5).astype(np.float32),
+    }
+    ts = jnp.arange(float(T))
+    key = jax.random.key(9)
+
+    loop = eval_split(
+        spec, params, key, split, make_eval_fns(spec, ts), bs, is_post=is_post
+    )
+    stack = {k: jnp.asarray(v) for k, v in stacked_minibatches(split, bs, shuffle=False).items()}
+    fused = _stats_from_fused(
+        spec, make_eval_epoch(spec, ts)(params, key, stack, is_post)
+    )
+
+    np.testing.assert_allclose(fused.elbo, loop.elbo, rtol=2e-5)
+    np.testing.assert_allclose(fused.l1, loop.l1, rtol=2e-5)
+    for name in loop.label_metrics:
+        np.testing.assert_allclose(
+            fused.label_metrics[name], loop.label_metrics[name], rtol=1e-6
+        )
 
 
 def test_cvs_ground_truth_metric(tmp_path):
