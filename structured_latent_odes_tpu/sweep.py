@@ -109,6 +109,14 @@ def prepare_member(dataset: str, base_config, seed: int) -> Dict:
     n_train = splits["train"]["observations"].shape[0]
     perms, mask = build_epoch_perms(n_train, cfg.mini_batch_size, cfg.num_epochs, rng)
     sched = aux_mult_schedule(cfg, cfg.num_epochs)
+    refit = int(cfg.get("prior_refit_epochs") or 0)
+    # refit perms continue the member's host-RNG stream after the main epochs
+    # (build_epoch_perms returns num_epochs+1 epochs -> pass refit-1 for R)
+    refit_perms = (
+        build_epoch_perms(n_train, cfg.mini_batch_size, refit - 1, rng)[0]
+        if refit
+        else None
+    )
     needs_val = policy in ("cvs", "proc")
     val_stack = (
         stacked_minibatches(splits["val"], cfg.mini_batch_size, shuffle=False)
@@ -131,6 +139,7 @@ def prepare_member(dataset: str, base_config, seed: int) -> Dict:
         "mask": mask,
         "aux_mult": sched,
         "val_stack": val_stack,
+        "refit_perms": refit_perms,
     }
 
 
@@ -148,6 +157,7 @@ def train_ensemble(members: List[Dict], *, num_particles=1, optimizer="shared"):
         num_particles=num_particles,
         optimizer=optimizer,
         prior_lr_mult=float(cfg.get("prior_lr_mult") or 1.0),
+        refit_epochs=int(cfg.get("prior_refit_epochs") or 0),
     )
     states = stack_members(
         [runner.init_state(m["params"], m["k_train"]) for m in members]
@@ -165,7 +175,15 @@ def train_ensemble(members: List[Dict], *, num_particles=1, optimizer="shared"):
     mask = jnp.asarray(m0["mask"])
     aux_mult = jnp.asarray(np.stack([m["aux_mult"] for m in members]))
 
-    result = runner.run(states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult)
+    refit_perms = (
+        jnp.asarray(np.stack([m["refit_perms"] for m in members]))
+        if m0["refit_perms"] is not None
+        else None
+    )
+    result = runner.run(
+        states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult,
+        refit_perms=refit_perms,
+    )
     jax.block_until_ready(result.best_crit)
     return result
 
@@ -294,6 +312,10 @@ def parse_args(argv=None):
     p.add_argument("--aux-warmup-epochs", type=int, default=None)
     p.add_argument("--prior-lr-mult", type=float, default=None,
                    help="conditional-prior net learning-rate multiplier")
+    p.add_argument("--prior-refit-epochs", type=int, default=None,
+                   help="after training, refit ONLY the conditional-prior "
+                        "nets on the main ELBO for R epochs (fresh Adam; "
+                        "posterior untouched) — closes the prior-lag gap")
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--mini-batch-size", type=int, default=None)
     p.add_argument("--optimizer", choices=["shared", "split"], default=None)
@@ -339,6 +361,7 @@ def main(argv=None):
     config.aux_anneal_epochs = args.aux_anneal_epochs
     config.aux_mult_start = args.aux_mult_start
     config.aux_warmup_epochs = args.aux_warmup_epochs
+    config.prior_refit_epochs = args.prior_refit_epochs
 
     seeds = parse_seeds(args.seeds)
     os.makedirs(args.results_root, exist_ok=True)

@@ -44,6 +44,8 @@ from structured_latent_odes_tpu.train.svi import (
     SVIState,
     make_dual_optimizer,
     make_dual_step,
+    shared_adam_init,
+    shared_adam_update,
 )
 
 Array = jax.Array
@@ -116,6 +118,7 @@ def make_ensemble_runner(
     num_particles: int = 1,
     optimizer: str = "shared",
     prior_lr_mult: float = 1.0,
+    refit_epochs: int = 0,
 ):
     """Build the fused multi-member runner.
 
@@ -129,6 +132,15 @@ def make_ensemble_runner(
     - val_stacks: dict of (S, nb_v, B_v, ...) stacked val minibatches
       (pass None for policies that never read the val split)
     - perms: (S, E, nb, B) int32, mask: (nb, B) f32, aux_mult: (S, E) f32
+
+    ``refit_epochs > 0`` appends a PRIOR-REFIT phase (a capability recipe,
+    not a reference behavior): starting from each member's selected best
+    params, train ONLY the conditional-prior nets on the main ELBO (fresh
+    Adam slots, same lr) for R further epochs. The posterior/decoder are
+    frozen, so posterior-mode quality is bit-identical; the refit closes the
+    diagnosed prior-lag gap (the aux-pressured posterior z_u constellation
+    outruns p(z_u|u) during joint training — RESULTS.md round 2/3). The
+    ``run`` signature gains a trailing ``refit_perms: (S, R, nb, B)``.
     """
     if policy not in POLICIES:
         raise ValueError(f"unknown policy {policy!r}; one of {POLICIES}")
@@ -156,7 +168,41 @@ def make_ensemble_runner(
         _, (lms, las) = jax.lax.scan(one, None, val_stack)
         return jnp.sum(lms), jnp.sum(las)
 
-    def run_one(state: SVIState, eval_key, train_split, val_stack, perms, mask, aux_mult):
+    def _prior_refit(best_params, refit_key, train_split, refit_perms, mask):
+        """R epochs of main-ELBO updates restricted to the 'priors' group."""
+        prior_only = {
+            group: jax.tree.map(lambda _: group == "priors", best_params[group])
+            for group in best_params
+        }
+        base_mult = jnp.asarray(spec.aux_loss_multiplier, jnp.float32)
+
+        def rstep(carry, xs):
+            perm, mask_b = xs  # (B,), (B,) — one minibatch row
+            params, slots, key = carry
+            key, k1 = jax.random.split(key)
+            batch = {k: v[perm] for k, v in train_split.items()}
+            batch["mask"] = mask_b
+            batch["sample_id"] = perm
+            batch["aux_mult"] = base_mult
+
+            def loss_fn(p):
+                loss, _ = elbo_main(spec, p, k1, batch, ts)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params, slots = shared_adam_update(
+                grads, slots, params, prior_only, lr
+            )
+            return (params, slots, key), loss
+
+        def repoch(carry, perms_e):
+            return jax.lax.scan(rstep, carry, (perms_e, mask))
+
+        carry0 = (best_params, shared_adam_init(best_params), refit_key)
+        (params, _, _), _ = jax.lax.scan(repoch, carry0, refit_perms)
+        return params
+
+    def run_one(state: SVIState, eval_key, train_split, val_stack, perms, mask, aux_mult, refit_perms=None):
         best0 = (
             jax.tree.map(jnp.asarray, state.params),
             jnp.asarray(jnp.inf),
@@ -204,21 +250,41 @@ def make_ensemble_runner(
 
         E = perms.shape[0]
         carry0 = (state, eval_key, *best0)
-        (state, _, bp, bc, be), hist = jax.lax.scan(
+        (state, eval_key_f, bp, bc, be), hist = jax.lax.scan(
             epoch_body, carry0, (perms, aux_mult, jnp.arange(E, dtype=jnp.int32))
         )
+        if refit_epochs:
+            bp = _prior_refit(
+                bp, jax.random.fold_in(eval_key_f, 77), train_split, refit_perms, mask
+            )
         return EnsembleResult(state, bp, bc, be, hist)
 
     val_axis = 0 if needs_val else None
-    run = jax.jit(
-        jax.vmap(run_one, in_axes=(0, 0, 0, val_axis, 0, None, 0)),
-    )
+    if refit_epochs:
+        run = jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, val_axis, 0, None, 0, 0)))
+    else:
+        run = jax.jit(
+            jax.vmap(
+                lambda s, e, t, v, p, m, a: run_one(s, e, t, v, p, m, a),
+                in_axes=(0, 0, 0, val_axis, 0, None, 0),
+            )
+        )
 
-    def run_wrapped(states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult):
+    def run_wrapped(
+        states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult,
+        refit_perms=None,
+    ):
         if needs_val and val_stacks is None:
             raise ValueError(f"policy {policy!r} requires val_stacks")
         if not needs_val:
             val_stacks = None
+        if refit_epochs:
+            if refit_perms is None:
+                raise ValueError("refit_epochs > 0 requires refit_perms")
+            return run(
+                states, eval_keys, train_splits, val_stacks, perms, mask,
+                aux_mult, refit_perms,
+            )
         return run(states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult)
 
     def init_state(params, key) -> SVIState:

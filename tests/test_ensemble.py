@@ -201,3 +201,57 @@ def test_build_epoch_perms_matches_stacked_minibatches():
         np.testing.assert_array_equal(
             stacked["observations"], split["observations"][perms[e]]
         )
+
+
+@pytest.mark.slow
+def test_prior_refit_changes_only_priors():
+    """refit_epochs trains ONLY the conditional-prior nets after selection:
+    encoder/decoder/aux of the refit best params stay bit-identical to the
+    un-refit run's best params; the priors move."""
+    config = _tiny_config(num_epochs=2)
+    splits = _synthetic_splits()
+    spec = cvs_spec(config, n_time=T)
+    ts = jnp.arange(float(T))
+
+    def build(refit):
+        runner = make_ensemble_runner(
+            spec, ts, config.learning_rate,
+            init_params(jax.random.key(0), spec), policy="cvs",
+            refit_epochs=refit,
+        )
+        seed = 3
+        key = set_seed(seed)
+        key, k_init, k_train, k_eval = jax.random.split(key, 4)
+        params = init_params(k_init, spec)
+        rng = np.random.RandomState(seed)
+        perms, mask = build_epoch_perms(N_TRAIN, BS, config.num_epochs, rng)
+        rperms = build_epoch_perms(N_TRAIN, BS, refit - 1, rng)[0] if refit else None
+        states = stack_members([runner.init_state(params, k_train)])
+        val = stack_members([stacked_minibatches(splits["val"], BS, shuffle=False)])
+        return runner.run(
+            states,
+            jnp.stack([k_eval]),
+            stack_members([splits["train"]]),
+            val,
+            jnp.asarray(perms[None]),
+            jnp.asarray(mask),
+            jnp.ones((1, config.num_epochs + 1), np.float32) * 46.0,
+            refit_perms=None if not refit else jnp.asarray(rperms[None]),
+        )
+
+    plain = build(0)
+    refit = build(3)
+    for g in ("encoder", "decoder", "aux", "aux_std"):
+        for a, b in zip(
+            jax.tree.leaves(plain.best_params[g]), jax.tree.leaves(refit.best_params[g])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(plain.best_params["priors"]),
+            jax.tree.leaves(refit.best_params["priors"]),
+        )
+    ]
+    assert max(diffs) > 0, "refit did not move the prior nets"
+    assert int(plain.best_epoch[0]) == int(refit.best_epoch[0])
