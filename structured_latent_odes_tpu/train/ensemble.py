@@ -108,6 +108,63 @@ def aux_mult_schedule(config, num_epochs: int) -> np.ndarray:
     )
 
 
+def make_prior_refit_fn(spec: ModelSpec, ts, lr: float):
+    """Pure refit function (traceable; used inside the ensemble jit and by
+    the standalone :func:`prior_refit` for the sequential CLI drivers):
+    R epochs of main-ELBO updates restricted to the 'priors' group, starting
+    from the selected best params with fresh Adam slots. The posterior,
+    decoder, and aux heads are untouched, so posterior-mode quality is
+    bit-identical — only p(z_u|u) catches up to where the posterior settled
+    (the round-2/3 diagnosed prior-lag failure)."""
+    ts = jnp.asarray(ts)
+
+    def refit(best_params, refit_key, train_split, refit_perms, mask):
+        prior_only = {
+            group: jax.tree.map(lambda _: group == "priors", best_params[group])
+            for group in best_params
+        }
+        base_mult = jnp.asarray(spec.aux_loss_multiplier, jnp.float32)
+
+        def rstep(carry, xs):
+            perm, mask_b = xs  # (B,), (B,) — one minibatch row
+            params, slots, key = carry
+            key, k1 = jax.random.split(key)
+            batch = {k: v[perm] for k, v in train_split.items()}
+            batch["mask"] = mask_b
+            batch["sample_id"] = perm
+            batch["aux_mult"] = base_mult
+
+            def loss_fn(p):
+                loss, _ = elbo_main(spec, p, k1, batch, ts)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params, slots = shared_adam_update(grads, slots, params, prior_only, lr)
+            return (params, slots, key), loss
+
+        def repoch(carry, perms_e):
+            return jax.lax.scan(rstep, carry, (perms_e, mask))
+
+        carry0 = (best_params, shared_adam_init(best_params), refit_key)
+        (params, _, _), _ = jax.lax.scan(repoch, carry0, refit_perms)
+        return params
+
+    return refit
+
+
+def prior_refit(spec: ModelSpec, ts, lr: float, best_params, key, train_split,
+                rng: np.random.RandomState, epochs: int, batch_size: int):
+    """Standalone prior-refit for the sequential drivers: builds R epochs of
+    shuffle perms from ``rng`` and runs the jitted refit in one dispatch."""
+    n = train_split["observations"].shape[0]
+    refit_perms, mask = build_epoch_perms(n, batch_size, epochs - 1, rng)
+    split_dev = {k: jnp.asarray(v) for k, v in train_split.items()}
+    fn = jax.jit(make_prior_refit_fn(spec, ts, lr))
+    return fn(
+        best_params, key, split_dev, jnp.asarray(refit_perms), jnp.asarray(mask)
+    )
+
+
 def make_ensemble_runner(
     spec: ModelSpec,
     ts,
@@ -168,39 +225,7 @@ def make_ensemble_runner(
         _, (lms, las) = jax.lax.scan(one, None, val_stack)
         return jnp.sum(lms), jnp.sum(las)
 
-    def _prior_refit(best_params, refit_key, train_split, refit_perms, mask):
-        """R epochs of main-ELBO updates restricted to the 'priors' group."""
-        prior_only = {
-            group: jax.tree.map(lambda _: group == "priors", best_params[group])
-            for group in best_params
-        }
-        base_mult = jnp.asarray(spec.aux_loss_multiplier, jnp.float32)
-
-        def rstep(carry, xs):
-            perm, mask_b = xs  # (B,), (B,) — one minibatch row
-            params, slots, key = carry
-            key, k1 = jax.random.split(key)
-            batch = {k: v[perm] for k, v in train_split.items()}
-            batch["mask"] = mask_b
-            batch["sample_id"] = perm
-            batch["aux_mult"] = base_mult
-
-            def loss_fn(p):
-                loss, _ = elbo_main(spec, p, k1, batch, ts)
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            params, slots = shared_adam_update(
-                grads, slots, params, prior_only, lr
-            )
-            return (params, slots, key), loss
-
-        def repoch(carry, perms_e):
-            return jax.lax.scan(rstep, carry, (perms_e, mask))
-
-        carry0 = (best_params, shared_adam_init(best_params), refit_key)
-        (params, _, _), _ = jax.lax.scan(repoch, carry0, refit_perms)
-        return params
+    _prior_refit = make_prior_refit_fn(spec, ts, lr)
 
     def run_one(state: SVIState, eval_key, train_split, val_stack, perms, mask, aux_mult, refit_perms=None):
         best0 = (

@@ -104,6 +104,18 @@ def train(config):
         fast_eval=make_eval_epoch(spec, times),
     )
 
+    if int(config.get("prior_refit_epochs") or 0):
+        # prior-only refit of the selected model (capability recipe; see
+        # train/ensemble.make_prior_refit_fn): posterior untouched
+        from structured_latent_odes_tpu.train.ensemble import prior_refit
+
+        key, k_refit = jax.random.split(key)
+        best = dict(best, params=prior_refit(
+            spec, times, config.learning_rate, best["params"], k_refit,
+            splits["train"], rng, int(config.prior_refit_epochs),
+            config.mini_batch_size,
+        ))
+
     key, k_test, k_samp = jax.random.split(key, 3)
     test_post, test_prior = final_test_eval(
         spec, best["params"], k_test, splits["val"], eval_fns, config.mini_batch_size
@@ -175,6 +187,10 @@ def parse_args(argv=None):
     p.add_argument("--prior-lr-mult", type=float, default=None,
                    help="conditional-prior net learning-rate multiplier "
                         "(>1 keeps p(z_u|u) tracking the posterior)")
+    p.add_argument("--prior-refit-epochs", type=int, default=None,
+                   help="after training, refit ONLY the conditional-prior "
+                        "nets on the main ELBO for R epochs (posterior "
+                        "untouched)")
     p.add_argument("--aux-loss-multiplier", type=float, default=None,
                    help="aux classifier site scale (reference: 46; 460 "
                         "reliably disentangles subtle inputs, see PARITY.md)")
@@ -231,6 +247,7 @@ def main(argv=None):
     config.aux_anneal_epochs = args.aux_anneal_epochs
     config.aux_mult_start = args.aux_mult_start
     config.aux_warmup_epochs = args.aux_warmup_epochs
+    config.prior_refit_epochs = args.prior_refit_epochs
     config.checkpoint_every = args.checkpoint_every
     config.resume = args.resume
     config.profile_dir = args.profile_dir
