@@ -44,6 +44,7 @@ from structured_latent_odes_tpu.train.driver import final_test_eval
 from structured_latent_odes_tpu.train.ensemble import (
     aux_mult_schedule,
     build_epoch_perms,
+    lr_scale_schedule,
     make_ensemble_runner,
     stack_members,
 )
@@ -109,6 +110,7 @@ def prepare_member(dataset: str, base_config, seed: int) -> Dict:
     n_train = splits["train"]["observations"].shape[0]
     perms, mask = build_epoch_perms(n_train, cfg.mini_batch_size, cfg.num_epochs, rng)
     sched = aux_mult_schedule(cfg, cfg.num_epochs)
+    lr_sched = lr_scale_schedule(cfg, cfg.num_epochs)
     refit = int(cfg.get("prior_refit_epochs") or 0)
     # refit perms continue the member's host-RNG stream after the main epochs
     # (build_epoch_perms returns num_epochs+1 epochs -> pass refit-1 for R)
@@ -138,6 +140,7 @@ def prepare_member(dataset: str, base_config, seed: int) -> Dict:
         "perms": perms,
         "mask": mask,
         "aux_mult": sched,
+        "lr_sched": lr_sched,
         "val_stack": val_stack,
         "refit_perms": refit_perms,
     }
@@ -180,9 +183,14 @@ def train_ensemble(members: List[Dict], *, num_particles=1, optimizer="shared"):
         if m0["refit_perms"] is not None
         else None
     )
+    lr_sched = (
+        jnp.asarray(np.stack([m["lr_sched"] for m in members]))
+        if m0["lr_sched"] is not None
+        else None
+    )
     result = runner.run(
         states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult,
-        refit_perms=refit_perms,
+        refit_perms=refit_perms, lr_sched=lr_sched,
     )
     jax.block_until_ready(result.best_crit)
     return result
@@ -312,6 +320,10 @@ def parse_args(argv=None):
     p.add_argument("--aux-warmup-epochs", type=int, default=None)
     p.add_argument("--prior-lr-mult", type=float, default=None,
                    help="conditional-prior net learning-rate multiplier")
+    p.add_argument("--lr-final", type=float, default=None,
+                   help="linear lr decay target (with --lr-decay-start)")
+    p.add_argument("--lr-decay-start", type=int, default=None,
+                   help="epoch at which linear lr decay begins")
     p.add_argument("--prior-refit-epochs", type=int, default=None,
                    help="after training, refit ONLY the conditional-prior "
                         "nets on the main ELBO for R epochs (fresh Adam; "
@@ -362,6 +374,8 @@ def main(argv=None):
     config.aux_mult_start = args.aux_mult_start
     config.aux_warmup_epochs = args.aux_warmup_epochs
     config.prior_refit_epochs = args.prior_refit_epochs
+    config.lr_final = args.lr_final
+    config.lr_decay_start = args.lr_decay_start
 
     seeds = parse_seeds(args.seeds)
     os.makedirs(args.results_root, exist_ok=True)

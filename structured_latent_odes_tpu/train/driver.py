@@ -147,6 +147,22 @@ def epoch_aux_mult(config, epoch: int):
     return float(m)
 
 
+def epoch_lr_scale(config, epoch: int):
+    """Optional late linear lr decay (a recipe the reference lacks):
+    constant ``learning_rate`` until ``lr_decay_start``, then linear to
+    ``lr_final`` at ``num_epochs``. Returns the SCALE (lr multiplier) or
+    None when unconfigured. Shared with the ensemble trainer."""
+    final = config.get("lr_final")
+    start = config.get("lr_decay_start")
+    if final is None or start is None:
+        return None
+    if epoch <= start:
+        return 1.0
+    frac = min(1.0, (epoch - start) / max(1, config.num_epochs - start))
+    lr = float(config.learning_rate)
+    return (lr * (1 - frac) + float(final) * frac) / lr
+
+
 def _stats_from_fused(spec: ModelSpec, fused) -> EvalStats:
     """EvalStats (without recon payloads) from a fused ``eval_epoch`` result."""
     fused = jax.tree.map(float, fused)
@@ -273,6 +289,11 @@ def run_training_epochs(
                 if aux_mult is not None:
                     batches["aux_mult"] = np.full(
                         (batches["mask"].shape[0],), aux_mult, np.float32
+                    )
+                lr_sc = epoch_lr_scale(config, epoch)
+                if lr_sc is not None:
+                    batches["lr_scale"] = np.full(
+                        (batches["mask"].shape[0],), lr_sc, np.float32
                     )
                 state, mets = train_epoch(state, put(batches))
                 jax.block_until_ready(mets["loss_main"])

@@ -108,6 +108,17 @@ def aux_mult_schedule(config, num_epochs: int) -> np.ndarray:
     )
 
 
+def lr_scale_schedule(config, num_epochs: int):
+    """Per-epoch lr scale array from driver.epoch_lr_scale, or None when the
+    decay knobs (lr_final / lr_decay_start) are unset."""
+    from structured_latent_odes_tpu.train.driver import epoch_lr_scale
+
+    vals = [epoch_lr_scale(config, e) for e in range(num_epochs + 1)]
+    if all(v is None for v in vals):
+        return None
+    return np.asarray([1.0 if v is None else v for v in vals], dtype=np.float32)
+
+
 def make_prior_refit_fn(spec: ModelSpec, ts, lr: float):
     """Pure refit function (traceable; used inside the ensemble jit and by
     the standalone :func:`prior_refit` for the sequential CLI drivers):
@@ -227,7 +238,10 @@ def make_ensemble_runner(
 
     _prior_refit = make_prior_refit_fn(spec, ts, lr)
 
-    def run_one(state: SVIState, eval_key, train_split, val_stack, perms, mask, aux_mult, refit_perms=None):
+    def run_one(
+        state: SVIState, eval_key, train_split, val_stack, perms, mask,
+        aux_mult, lr_sched, refit_perms=None,
+    ):
         best0 = (
             jax.tree.map(jnp.asarray, state.params),
             jnp.asarray(jnp.inf),
@@ -236,11 +250,12 @@ def make_ensemble_runner(
 
         def epoch_body(carry, xs):
             state, eval_key, best_p, best_c, best_e = carry
-            perm, mult, epoch = xs
+            perm, mult, lr_sc, epoch = xs
             batches = {k: v[perm] for k, v in train_split.items()}
             batches["mask"] = mask
             batches["sample_id"] = perm
             batches["aux_mult"] = jnp.full((perm.shape[0],), mult)
+            batches["lr_scale"] = jnp.full((perm.shape[0],), lr_sc)
             state, mets = jax.lax.scan(_step, state, batches)
 
             eval_key, k1, _k2, _k3, _k4 = jax.random.split(eval_key, 5)
@@ -276,7 +291,9 @@ def make_ensemble_runner(
         E = perms.shape[0]
         carry0 = (state, eval_key, *best0)
         (state, eval_key_f, bp, bc, be), hist = jax.lax.scan(
-            epoch_body, carry0, (perms, aux_mult, jnp.arange(E, dtype=jnp.int32))
+            epoch_body,
+            carry0,
+            (perms, aux_mult, lr_sched, jnp.arange(E, dtype=jnp.int32)),
         )
         if refit_epochs:
             bp = _prior_refit(
@@ -286,31 +303,38 @@ def make_ensemble_runner(
 
     val_axis = 0 if needs_val else None
     if refit_epochs:
-        run = jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, val_axis, 0, None, 0, 0)))
+        run = jax.jit(
+            jax.vmap(run_one, in_axes=(0, 0, 0, val_axis, 0, None, 0, 0, 0))
+        )
     else:
         run = jax.jit(
             jax.vmap(
-                lambda s, e, t, v, p, m, a: run_one(s, e, t, v, p, m, a),
-                in_axes=(0, 0, 0, val_axis, 0, None, 0),
+                lambda s, e, t, v, p, m, a, l: run_one(s, e, t, v, p, m, a, l),
+                in_axes=(0, 0, 0, val_axis, 0, None, 0, 0),
             )
         )
 
     def run_wrapped(
         states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult,
-        refit_perms=None,
+        refit_perms=None, lr_sched=None,
     ):
         if needs_val and val_stacks is None:
             raise ValueError(f"policy {policy!r} requires val_stacks")
         if not needs_val:
             val_stacks = None
+        if lr_sched is None:
+            lr_sched = jnp.ones_like(jnp.asarray(aux_mult))
         if refit_epochs:
             if refit_perms is None:
                 raise ValueError("refit_epochs > 0 requires refit_perms")
             return run(
                 states, eval_keys, train_splits, val_stacks, perms, mask,
-                aux_mult, refit_perms,
+                aux_mult, lr_sched, refit_perms,
             )
-        return run(states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult)
+        return run(
+            states, eval_keys, train_splits, val_stacks, perms, mask,
+            aux_mult, lr_sched,
+        )
 
     def init_state(params, key) -> SVIState:
         return SVIState(params, optim.init(params), key)

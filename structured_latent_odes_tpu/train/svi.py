@@ -164,26 +164,30 @@ def make_dual_optimizer(
                 for group in params_example
             }
 
-        def update(grads, slots, params, mask):
+        def update(grads, slots, params, mask, lr_scale):
             return shared_adam_update(
-                grads, slots, params, mask, lr, lr_scales=lr_scales
+                grads, slots, params, mask, lr * lr_scale, lr_scales=lr_scales
             )
 
         return DualOptimizer(
             init=shared_adam_init,
-            update_main=lambda g, s, p: update(g, s, p, main_mask),
-            update_aux=lambda g, s, p: update(g, s, p, aux_mask),
+            update_main=lambda g, s, p, sc=1.0: update(g, s, p, main_mask, sc),
+            update_aux=lambda g, s, p, sc=1.0: update(g, s, p, aux_mask, sc),
         )
     if mode == "split":
         if prior_lr_mult != 1.0:
             raise ValueError("prior_lr_mult requires optimizer='shared'")
         opt_main, opt_aux = make_optimizers(spec, params_example, lr)
 
-        def upd_main(grads, opt, params):
+        def upd_main(grads, opt, params, sc=None):
+            if sc is not None and not isinstance(sc, float):
+                raise ValueError("lr schedules require optimizer='shared'")
             updates, main_state = opt_main.update(grads, opt[0], params)
             return optax.apply_updates(params, updates), (main_state, opt[1])
 
-        def upd_aux(grads, opt, params):
+        def upd_aux(grads, opt, params, sc=None):
+            if sc is not None and not isinstance(sc, float):
+                raise ValueError("lr schedules require optimizer='shared'")
             updates, aux_state = opt_aux.update(grads, opt[1], params)
             return optax.apply_updates(params, updates), (opt[0], aux_state)
 
@@ -215,13 +219,14 @@ def make_dual_step(spec: ModelSpec, ts, optim: DualOptimizer, num_particles: int
 
     def _step(state: SVIState, batch) -> Tuple[SVIState, Dict[str, Array]]:
         key, k1, k2 = jax.random.split(state.key, 3)
+        sc = batch.get("lr_scale", 1.0)  # per-epoch lr schedule (ours)
         (loss_m, mets), grads = jax.value_and_grad(main_loss, has_aux=True)(
             state.params, k1, batch
         )
-        params, opt = optim.update_main(grads, state.opt, state.params)
+        params, opt = optim.update_main(grads, state.opt, state.params, sc)
 
         loss_a, grads_a = jax.value_and_grad(aux_loss)(params, k2, batch)
-        params, opt = optim.update_aux(grads_a, opt, params)
+        params, opt = optim.update_aux(grads_a, opt, params, sc)
 
         n = jnp.maximum(jnp.sum(batch["mask"]), 1.0)
         metrics = {"loss_main": loss_m / n, "loss_aux": loss_a / n, "l1": mets["l1"]}

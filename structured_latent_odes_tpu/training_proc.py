@@ -187,6 +187,10 @@ def parse_args(argv=None):
     p.add_argument("--prior-lr-mult", type=float, default=None,
                    help="conditional-prior net learning-rate multiplier "
                         "(>1 keeps p(z_u|u) tracking the posterior)")
+    p.add_argument("--lr-final", type=float, default=None,
+                   help="linear lr decay target (with --lr-decay-start)")
+    p.add_argument("--lr-decay-start", type=int, default=None,
+                   help="epoch at which linear lr decay begins")
     p.add_argument("--prior-refit-epochs", type=int, default=None,
                    help="after training, refit ONLY the conditional-prior "
                         "nets on the main ELBO for R epochs (posterior "
@@ -248,6 +252,8 @@ def main(argv=None):
     config.aux_mult_start = args.aux_mult_start
     config.aux_warmup_epochs = args.aux_warmup_epochs
     config.prior_refit_epochs = args.prior_refit_epochs
+    config.lr_final = args.lr_final
+    config.lr_decay_start = args.lr_decay_start
     config.checkpoint_every = args.checkpoint_every
     config.resume = args.resume
     config.profile_dir = args.profile_dir

@@ -187,3 +187,49 @@ def test_aux_mult_schedule_warmup_and_anneal():
     np.testing.assert_allclose(
         aux_mult_schedule(config2, 2), config2.aux_loss_multiplier
     )
+
+
+@pytest.mark.slow
+def test_lr_scale_schedule_semantics():
+    """epoch_lr_scale formula + batch-threaded lr_scale: scale 0 freezes the
+    parameters (moments still advance, torch-scheduler-style); the schedule
+    is constant until lr_decay_start then linear to lr_final."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, init_params
+    from structured_latent_odes_tpu.train.driver import epoch_lr_scale
+    from structured_latent_odes_tpu.train.ensemble import lr_scale_schedule
+    from structured_latent_odes_tpu.train.svi import make_train_step
+
+    config = load_cvs_config()
+    config.num_epochs = 10
+    config.lr_final = 1e-4
+    config.lr_decay_start = 5
+    assert epoch_lr_scale(config, 0) == 1.0
+    assert epoch_lr_scale(config, 5) == 1.0
+    np.testing.assert_allclose(epoch_lr_scale(config, 10), 0.1)
+    sched = lr_scale_schedule(config, 10)
+    np.testing.assert_allclose(sched[:6], 1.0)
+    np.testing.assert_allclose(sched[10], 0.1)
+    config.lr_final = None
+    assert epoch_lr_scale(config, 3) is None
+    assert lr_scale_schedule(config, 10) is None
+
+    T, B = 16, 4
+    config2 = load_cvs_config()
+    config2.seq_len = T
+    spec = cvs_spec(config2, n_time=T)
+    params = init_params(jax.random.key(0), spec)
+    r = np.random.RandomState(2)
+    batch = {
+        "observations": jnp.asarray(r.rand(B, 3, T).astype(np.float32)),
+        "iext": jnp.asarray((r.rand(B, 1) > 0.5).astype(np.float32)),
+        "rtpr": jnp.asarray((r.rand(B, 1) > 0.5).astype(np.float32)),
+        "mask": jnp.ones((B,), jnp.float32),
+        "lr_scale": jnp.asarray(0.0),
+    }
+    ts = jnp.arange(float(T))
+    init_state, step, _ = make_train_step(spec, ts, LR, params)
+    state = init_state(jax.tree.map(jnp.copy, params), jax.random.key(5))
+    state, _m = step(state, batch)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
