@@ -46,7 +46,13 @@ def build_datasets(config):
     (N, T, K) observations + (N, 1) labels; 'val' doubles as the test fold."""
     raw = load_raw(config.data_path)
     n = raw["observations"].shape[0]
-    train_ids, val_ids = fold_indices(n, config.folds, config.split, config.seed)
+    # --data-seed decouples fold membership from training randomness: the
+    # published anchors are one fold at the authors' seed; sweeping TRAINING
+    # seeds on that fixed fold is the like-for-like robustness comparison
+    split_seed = config.get("data_seed")
+    if split_seed is None:
+        split_seed = config.seed
+    train_ids, val_ids = fold_indices(n, config.folds, config.split, split_seed)
 
     def pack(ids):
         return {

@@ -225,7 +225,10 @@ def split_folds(dataset, config) -> Tuple[np.ndarray, np.ndarray]:
         raise ValueError(
             f"--split must be in [1, {config.folds}] (got {config.split})"
         )
-    rng = np.random.RandomState(config.seed)
+    split_seed = config.get("data_seed")  # fold membership decoupled from
+    if split_seed is None:                # training randomness (--data-seed)
+        split_seed = config.seed
+    rng = np.random.RandomState(split_seed)
     indices = rng.permutation(n)
     chunks = np.array_split(indices, config.folds)
     val_ids = np.sort(chunks[config.split - 1])

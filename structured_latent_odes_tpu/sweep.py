@@ -334,6 +334,9 @@ def parse_args(argv=None):
     p.add_argument("--num-particles", type=int, default=None)
     p.add_argument("--quantile-diff", type=float, default=None)
     p.add_argument("--split", type=int, default=None, help="proc/challenge fold")
+    p.add_argument("--data-seed", type=int, default=None,
+                   help="fold-split seed (defaults to each member's seed; "
+                        "set to pin the fold while sweeping training seeds)")
     p.add_argument("--heldout", default=None, help="proc zero-shot device")
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--ode-backend", default=None)
@@ -374,6 +377,7 @@ def main(argv=None):
     config.aux_mult_start = args.aux_mult_start
     config.aux_warmup_epochs = args.aux_warmup_epochs
     config.prior_refit_epochs = args.prior_refit_epochs
+    config.data_seed = args.data_seed
     config.lr_final = args.lr_final
     config.lr_decay_start = args.lr_decay_start
 

@@ -235,6 +235,9 @@ def parse_args(argv=None):
                    help="shard the ODE horizon over K mesh time-shards "
                         "(sequence parallelism; forces the semilinear_timepar "
                         "backend)")
+    p.add_argument("--data-seed", type=int, default=None,
+                   help="fold-split seed (defaults to --seed; set to pin the "
+                        "fold while varying training randomness)")
     p.add_argument("--split", type=int, default=None, help="fold 1..5")
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--ode-backend", default=None)
@@ -275,6 +278,7 @@ def main(argv=None):
     config.aux_mult_start = args.aux_mult_start
     config.aux_warmup_epochs = args.aux_warmup_epochs
     config.prior_refit_epochs = args.prior_refit_epochs
+    config.data_seed = args.data_seed
     config.lr_final = args.lr_final
     config.lr_decay_start = args.lr_decay_start
     config.checkpoint_every = args.checkpoint_every

@@ -182,3 +182,31 @@ def test_random_crop_loader_option():
     # no-op when crop_len >= T
     same = random_crop(split, 12)
     np.testing.assert_array_equal(same["observations"], obs)
+
+
+def test_data_seed_decouples_fold_membership():
+    """--data-seed pins fold composition while config.seed varies (the
+    training-seed sweep on the anchor fold); default keeps seed-coupled
+    behavior."""
+    from structured_latent_odes_tpu.data.challenge import fold_indices
+    from structured_latent_odes_tpu.data.configs import load_challenge_config
+    import numpy as np
+
+    t12, v12 = fold_indices(112, 5, 5, 12)
+    t14, v14 = fold_indices(112, 5, 5, 14)
+    assert not np.array_equal(v12, v14)  # seed changes the fold
+
+    from structured_latent_odes_tpu.data import proc
+
+    class Cfg(dict):
+        __getattr__ = dict.__getitem__
+        def get(self, k, default=None):
+            return dict.get(self, k, default)
+
+    ds = {"devices": np.arange(40) % 6}
+    a = proc.split_folds(ds, Cfg(seed=12, folds=4, split=1, data_seed=99))
+    b = proc.split_folds(ds, Cfg(seed=14, folds=4, split=1, data_seed=99))
+    np.testing.assert_array_equal(a[1], b[1])
+    c = proc.split_folds(ds, Cfg(seed=14, folds=4, split=1, data_seed=None))
+    d = proc.split_folds(ds, Cfg(seed=14, folds=4, split=1))
+    np.testing.assert_array_equal(c[1], d[1])
