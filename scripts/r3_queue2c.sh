@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-3 queue 2c: challenge fold 5 PINNED to the seed-12 split
+# (--data-seed 12) while TRAINING seeds sweep — the like-for-like comparison
+# against the published single-run anchors (post 38.620 / prior 38.969).
+set -u
+cd /root/repo
+OUT=runs/r3
+mkdir -p $OUT
+
+sweep () {
+  name=$1; shift
+  echo "=== challenge $name ==="
+  python -u -m structured_latent_odes_tpu.sweep challenge --seeds 12..19 \
+    --split 5 --data-seed 12 --results-root $OUT/$name "$@" > $OUT/$name.log 2>&1
+  tail -3 $OUT/$name.log
+}
+
+sweep chal5_ds12_anneal1000 --num-epochs 2000 --mini-batch-size 8 \
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1000
+sweep chal5_ds12_anneal1000_lrdecay --num-epochs 2000 --mini-batch-size 8 \
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1000 \
+  --lr-final 1e-4 --lr-decay-start 1000
+sweep chal5_ds12_anneal1000_lrdecay_np4 --num-epochs 2000 --mini-batch-size 8 \
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1000 \
+  --lr-final 1e-4 --lr-decay-start 1000 --num-particles 4
+
+echo "QUEUE2C DONE"

@@ -21,7 +21,7 @@ SEEDS=12..21 sweep proc proc46 --split 1
 SEEDS=12..17 sweep proc proc_anneal --split 1 \
   --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1250
 # heldout zero-shot, default config (beats anchor by ~49% in r2)
-SEEDS=12..21 sweep proc heldout46 --heldout h22
+SEEDS=12..21 sweep proc heldout46 --heldout R33S34_Y81C76
 
 # Gauss ablations at each dataset's headline recipe (shared Adam semantics)
 SEEDS=12..14 sweep cvs gauss_cvs460 --model MechanisticGauss \
