@@ -15,12 +15,12 @@ sweep () {  # dataset name seeds extra...
 }
 
 # ---- CVS (authors' own pickles; anchors post 0.520 / prior 0.522) ----------
-# HEADLINE: aux warm-up 46→460 over 500 + late lr decay → both medians beat
-# the anchors (0.496/0.508), prior never collapses (10/10 ≤ 0.945).
+# HEADLINE: aux warm-up 46→460 over 1000 + late lr decay → both medians beat
+# the anchors by ~13% (0.445/0.459), prior never collapses (10/10 ≤ 0.683).
 if [ -d /root/reference/data/cvs ]; then
   sweep cvs cvs_headline 12..21 --reference-data-dir /root/reference/data/cvs \
     --num-epochs 3000 --aux-loss-multiplier 460 \
-    --aux-mult-start 46 --aux-warmup-epochs 500 \
+    --aux-mult-start 46 --aux-warmup-epochs 1000 \
     --lr-final 5e-5 --lr-decay-start 1500
 else
   echo "skipping cvs_headline: /root/reference/data/cvs not present"
