@@ -178,6 +178,29 @@ def bench_scale():
     rate = timeit(long_horizon_grad, params, zl)
     out["long_horizon_T344_remat_grad_steps_per_sec"] = round(rate, 2)
 
+    # 48x horizon (T=4096) through the log-depth semilinear scan — the
+    # parallel-in-time grad step scripts/bench_longhorizon.py decomposes
+    # (plain path; 16.7 ms measured on v5e, docs/PERFORMANCE.md)
+    from structured_latent_odes_tpu.nn.ode_model import dynamics_prod_degr
+    from structured_latent_odes_tpu.ode.semilinear import solve_semilinear
+
+    ts_xl = jnp.arange(4096.0)
+    zxl = jax.random.normal(jax.random.key(5), (256, 15))
+
+    @jax.jit
+    def xl_grad(p, z):
+        def loss(p):
+            x0 = initialize_state(p, z)
+            sol = solve_semilinear(
+                lambda stage_ts: dynamics_prod_degr(p, stage_ts, z), x0, ts_xl
+            )
+            return jnp.mean(sol**2)
+
+        return jax.grad(loss)(p)
+
+    rate = timeit(xl_grad, params, zxl)
+    out["long_horizon_T4096_semilinear_grad_steps_per_sec"] = round(rate, 2)
+
     # Round-3 rows ---------------------------------------------------------
     # (1) ensemble trainer: S complete training runs in one jit — the
     # experiment-throughput capability (member-steps/sec across the ensemble)

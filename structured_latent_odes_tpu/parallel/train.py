@@ -51,6 +51,10 @@ def make_dp_train_step(
     repl = replicated(mesh)
 
     def init_state(params, key) -> SVIState:
+        # copy before device_put: the donated train step would otherwise free
+        # the caller's param buffers when device_put short-circuits on an
+        # already-matching sharding (see train/svi.py init_state)
+        params = jax.tree_util.tree_map(jnp.array, params)
         params = jax.device_put(params, repl)
         state = SVIState(params, optim.init(params), key)
         return jax.device_put(state, repl)

@@ -258,6 +258,12 @@ def make_train_step(
     )
 
     def init_state(params, key) -> SVIState:
+        # Copy params: train_step/train_epoch DONATE the state, so without a
+        # copy the first donated dispatch frees the caller's param buffers —
+        # a later init_state from the same params would then feed deleted
+        # buffers to the device (surfaces as an opaque INVALID_ARGUMENT on
+        # the axon TPU backend, which doesn't track client-side deletion).
+        params = jax.tree_util.tree_map(jnp.array, params)
         return SVIState(params, optim.init(params), key)
 
     _step = make_dual_step(spec, ts, optim, num_particles)

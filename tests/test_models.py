@@ -258,3 +258,23 @@ def test_init_params_fast_matches_eager():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-9
         )
+
+
+def test_init_state_does_not_alias_caller_params():
+    """train_step/train_epoch DONATE the state, so init_state must deep-copy
+    the caller's params: without the copy, the first donated dispatch frees
+    the caller's buffers and a second init_state from the same params feeds
+    deleted arrays to the device (opaque INVALID_ARGUMENT on the axon TPU
+    backend, where repeated bench/multi-state usage first exposed it)."""
+    spec, _ = _tiny_cvs_spec()
+    params = init_params(jax.random.key(0), spec)
+    ts = jnp.arange(20.0)
+    init_state, train_step, _ = make_train_step(spec, ts, 1e-2, params)
+    state = init_state(params, jax.random.key(5))
+    # simulate the donation: explicitly delete every caller-side param buffer
+    for leaf in jax.tree.leaves(params):
+        leaf.delete()
+    # the state must remain fully usable — one SVI step end-to-end
+    batch = _cvs_batch(4)
+    state, mets = train_step(state, batch)
+    assert np.isfinite(float(mets["loss_main"]))
