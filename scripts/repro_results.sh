@@ -15,24 +15,25 @@ sweep () {  # dataset name seeds extra...
 }
 
 # ---- CVS (authors' own pickles; anchors post 0.520 / prior 0.522) ----------
-# HEADLINE: aux warm-up 46→460 over 1000 + late lr decay → both medians beat
-# the anchors by ~13% (0.445/0.459), prior never collapses (10/10 ≤ 0.683).
+# HEADLINE: aux warm-up 46→460 over 1500 + late lr decay → both medians beat
+# the anchors by ~14% (0.448/0.451), 8/10 seeds under BOTH anchors, prior
+# never collapses (10/10 ≤ 0.874).
 if [ -d /root/reference/data/cvs ]; then
   sweep cvs cvs_headline 12..21 --reference-data-dir /root/reference/data/cvs \
-    --num-epochs 3000 --aux-loss-multiplier 460 \
-    --aux-mult-start 46 --aux-warmup-epochs 1000 \
-    --lr-final 5e-5 --lr-decay-start 1500
+    --num-epochs 4000 --aux-loss-multiplier 460 \
+    --aux-mult-start 46 --aux-warmup-epochs 1500 \
+    --lr-final 5e-5 --lr-decay-start 2000
 else
   echo "skipping cvs_headline: /root/reference/data/cvs not present"
 fi
 
 # ---- Challenge (fold 5; anchors post 38.620 / prior 38.969) ----------------
 # HEADLINE: fold PINNED to the published split (--data-seed 12), annealed aux
-# 460→46 over 1000 → both medians beat the anchors (36.65/36.84), 5/8 seeds
-# beat both pointwise.
+# 460→46 over 1500 at 3000 epochs → both medians beat the anchors
+# (35.45/36.97), ALL 8 seeds beat the posterior anchor (worst 38.36).
 sweep challenge chal_headline 12..19 --split 5 --data-seed 12 \
-  --num-epochs 2000 --mini-batch-size 8 \
-  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1000
+  --num-epochs 3000 --mini-batch-size 8 \
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1500
 
 # ---- Synbio proc (split 1; anchors post 6.019 / prior 16.524) --------------
 # HEADLINE: the reference's UNMODIFIED default config beats the posterior
