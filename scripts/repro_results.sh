@@ -45,16 +45,20 @@ sweep proc proc_headline 12..21 --split 1
 sweep proc heldout_a 12..16 --heldout R33S34_Y81C76
 sweep proc heldout_b 17..21 --heldout R33S34_Y81C76
 
-# ---- Gauss-likelihood ablation (3 seeds per dataset at the headline recipes)
+# ---- Gauss-likelihood ablation (full decades at the exact headline recipes;
+#      RESULTS.md queue-9 table: statistically tied, quantile ahead by hairs)
 if [ -d /root/reference/data/cvs ]; then
-  sweep cvs gauss_cvs 12..14 --model MechanisticGauss \
+  sweep cvs gauss_cvs 12..21 --model MechanisticGauss \
     --reference-data-dir /root/reference/data/cvs \
-    --num-epochs 1000 --aux-loss-multiplier 460
+    --num-epochs 4000 --aux-loss-multiplier 460 \
+    --aux-mult-start 46 --aux-warmup-epochs 1500 \
+    --lr-final 5e-5 --lr-decay-start 2000
 fi
-sweep proc gauss_proc 12..14 --model MechanisticGauss --split 1
-sweep challenge gauss_chal 12..14 --model MechanisticGauss --split 5 \
-  --num-epochs 2000 --mini-batch-size 8 \
-  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1000
+sweep proc gauss_proc 12..21 --model MechanisticGauss --split 1
+sweep challenge gauss_chal 12..19 --model MechanisticGauss \
+  --split 5 --data-seed 12 \
+  --num-epochs 3000 --mini-batch-size 8 \
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1500
 
 # ---- Sequential single-run CLI (artifact dump + notebook-equivalent eval) --
 # The sweep members above replicate this path bit-for-bit at each seed
