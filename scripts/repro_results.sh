@@ -29,11 +29,13 @@ fi
 
 # ---- Challenge (fold 5; anchors post 38.620 / prior 38.969) ----------------
 # HEADLINE: fold PINNED to the published split (--data-seed 12), annealed aux
-# 460→46 over 1500 at 3000 epochs → both medians beat the anchors
-# (35.45/36.97), ALL 8 seeds beat the posterior anchor (worst 38.36).
+# 460→46 over 1500 at 3000 epochs + late lr decay → medians 34.86/37.57
+# (fresh decade 36.21/37.82); 15/16 seeds across both decades beat the
+# posterior anchor (RESULTS.md queue 8+10).
 sweep challenge chal_headline 12..19 --split 5 --data-seed 12 \
   --num-epochs 3000 --mini-batch-size 8 \
-  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1500
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1500 \
+  --lr-final 1e-4 --lr-decay-start 2000
 
 # ---- Synbio proc (split 1; anchors post 6.019 / prior 16.524) --------------
 # HEADLINE: the reference's UNMODIFIED default config beats the posterior
