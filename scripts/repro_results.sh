@@ -15,12 +15,12 @@ sweep () {  # dataset name seeds extra...
 }
 
 # ---- CVS (authors' own pickles; anchors post 0.520 / prior 0.522) ----------
-# HEADLINE: aux warm-up 46→460 over 1500 + late lr decay → both medians beat
-# the anchors by ~14% (0.448/0.451), 8/10 seeds under BOTH anchors, prior
-# never collapses (10/10 ≤ 0.874).
+# HEADLINE: aux warm-up 46→460 over 1500, 5000 epochs, late lr decay →
+# medians 0.430/0.429, 10/10 selection seeds under BOTH anchors (worst
+# 0.504/0.514), fresh decade 0.430/0.448 (RESULTS.md queues 11+12).
 if [ -d /root/reference/data/cvs ]; then
   sweep cvs cvs_headline 12..21 --reference-data-dir /root/reference/data/cvs \
-    --num-epochs 4000 --aux-loss-multiplier 460 \
+    --num-epochs 5000 --aux-loss-multiplier 460 \
     --aux-mult-start 46 --aux-warmup-epochs 1500 \
     --lr-final 5e-5 --lr-decay-start 2000
 else
