@@ -524,7 +524,42 @@ def bench_torch_baseline(batch=128, n_time=86, iters=5):
     return iters / (time.perf_counter() - t0)
 
 
+def _device_reachable(timeout_s=300):
+    """Bounded probe: the axon tunnel, when down, makes jax init RETRY
+    FOREVER (observed 2026-08-17: relay ports refuse, jax.devices() hangs).
+    Probe in a subprocess with a hard timeout so bench fails fast with a
+    diagnosable JSON line instead of hanging the driver."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True  # CPU runs can't hang on the tunnel
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8)); (x @ x).block_until_ready()"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def main():
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "cvs_elbo_steps_per_sec",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator unreachable (axon tunnel down?) — "
+                     "device probe timed out after 300s",
+        }))
+        return
     steps_per_sec, device, extra = bench_tpu()
     # median-of-5 torch baseline: the CPU rate swings with host load
     # (VERDICT r1 weak #5 — the 78-125x swing was all baseline noise)
