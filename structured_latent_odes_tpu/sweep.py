@@ -161,6 +161,7 @@ def train_ensemble(members: List[Dict], *, num_particles=1, optimizer="shared"):
         optimizer=optimizer,
         prior_lr_mult=float(cfg.get("prior_lr_mult") or 1.0),
         refit_epochs=int(cfg.get("prior_refit_epochs") or 0),
+        use_lr_sched=m0["lr_sched"] is not None,
     )
     states = stack_members(
         [runner.init_state(m["params"], m["k_train"]) for m in members]

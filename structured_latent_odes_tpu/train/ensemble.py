@@ -187,6 +187,7 @@ def make_ensemble_runner(
     optimizer: str = "shared",
     prior_lr_mult: float = 1.0,
     refit_epochs: int = 0,
+    use_lr_sched: bool = False,
 ):
     """Build the fused multi-member runner.
 
@@ -212,6 +213,11 @@ def make_ensemble_runner(
     """
     if policy not in POLICIES:
         raise ValueError(f"unknown policy {policy!r}; one of {POLICIES}")
+    if use_lr_sched and optimizer != "shared":
+        # fail at build time with the real reason, not a mid-trace TypeError
+        raise ValueError(
+            "lr schedules (lr_final/lr_decay_start) require optimizer='shared'"
+        )
     ts = jnp.asarray(ts)
     optim = make_dual_optimizer(
         spec, params_example, lr, optimizer, prior_lr_mult=prior_lr_mult
@@ -255,7 +261,10 @@ def make_ensemble_runner(
             batches["mask"] = mask
             batches["sample_id"] = perm
             batches["aux_mult"] = jnp.full((perm.shape[0],), mult)
-            batches["lr_scale"] = jnp.full((perm.shape[0],), lr_sc)
+            if use_lr_sched:
+                # only thread the schedule when one is configured — the split
+                # optimizer (which rejects non-float scales) stays usable
+                batches["lr_scale"] = jnp.full((perm.shape[0],), lr_sc)
             state, mets = jax.lax.scan(_step, state, batches)
 
             eval_key, k1, _k2, _k3, _k4 = jax.random.split(eval_key, 5)
@@ -322,7 +331,11 @@ def make_ensemble_runner(
             raise ValueError(f"policy {policy!r} requires val_stacks")
         if not needs_val:
             val_stacks = None
+        if use_lr_sched and lr_sched is None:
+            raise ValueError("runner built with use_lr_sched=True needs lr_sched")
         if lr_sched is None:
+            # unread dummy (epoch_body skips it when use_lr_sched=False);
+            # keeps the scan xs structure uniform
             lr_sched = jnp.ones_like(jnp.asarray(aux_mult))
         if refit_epochs:
             if refit_perms is None:

@@ -27,7 +27,7 @@ T = 16
 N_TRAIN, N_VAL, BS = 10, 6, 4
 
 
-def _tiny_config(num_epochs, anneal=False):
+def _tiny_config(num_epochs, anneal=False, lrdecay=False):
     config = load_cvs_config()
     config.seq_len = T
     config.mini_batch_size = BS
@@ -38,6 +38,9 @@ def _tiny_config(num_epochs, anneal=False):
     else:
         config.aux_mult_final = None
         config.aux_anneal_epochs = None
+    if lrdecay:
+        config.lr_final = config.learning_rate * 0.1
+        config.lr_decay_start = 1
     return config
 
 
@@ -95,9 +98,12 @@ def _sequential_run(config, splits, seed, policy):
     return state, best
 
 
-def _ensemble_run(config, splits, seeds, policy):
+def _ensemble_run(config, splits, seeds, policy, optimizer="shared"):
+    from structured_latent_odes_tpu.train.ensemble import lr_scale_schedule
+
     spec = cvs_spec(config, n_time=T)
     ts = jnp.arange(float(T))
+    lr_sched = lr_scale_schedule(config, config.num_epochs)
     members = []
     for seed in seeds:
         key = set_seed(seed)
@@ -112,7 +118,8 @@ def _ensemble_run(config, splits, seeds, policy):
              "aux_mult": aux_mult_schedule(config, config.num_epochs)}
         )
     runner = make_ensemble_runner(
-        spec, ts, config.learning_rate, members[0]["params"], policy=policy
+        spec, ts, config.learning_rate, members[0]["params"], policy=policy,
+        optimizer=optimizer, use_lr_sched=lr_sched is not None,
     )
     states = stack_members(
         [runner.init_state(m["params"], m["k_train"]) for m in members]
@@ -129,7 +136,15 @@ def _ensemble_run(config, splits, seeds, policy):
     perms = jnp.asarray(np.stack([m["perms"] for m in members]))
     mask = jnp.asarray(members[0]["mask"])
     aux = jnp.asarray(np.stack([m["aux_mult"] for m in members]))
-    return runner.run(states, eval_keys, train_splits, val_stacks, perms, mask, aux)
+    lrs = (
+        jnp.asarray(np.stack([lr_sched] * len(seeds)))
+        if lr_sched is not None
+        else None
+    )
+    return runner.run(
+        states, eval_keys, train_splits, val_stacks, perms, mask, aux,
+        lr_sched=lrs,
+    )
 
 
 def _assert_member_matches(result, i, state_seq, best_seq):
@@ -150,18 +165,37 @@ def _assert_member_matches(result, i, state_seq, best_seq):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("anneal", [False, True])
-def test_ensemble_members_match_sequential_cvs(anneal):
-    """Two-member ensemble (val-ELBO policy, optionally annealed aux scale)
-    reproduces each sequential driver run: final params, best criterion,
-    best epoch, best params."""
-    config = _tiny_config(num_epochs=3, anneal=anneal)
+@pytest.mark.parametrize(
+    "anneal,lrdecay", [(False, False), (True, False), (False, True)]
+)
+def test_ensemble_members_match_sequential_cvs(anneal, lrdecay):
+    """Two-member ensemble (val-ELBO policy, optionally annealed aux scale /
+    lr-decay schedule) reproduces each sequential driver run: final params,
+    best criterion, best epoch, best params."""
+    config = _tiny_config(num_epochs=3, anneal=anneal, lrdecay=lrdecay)
     splits = _synthetic_splits()
     seeds = [3, 4]
     result = _ensemble_run(config, splits, seeds, "cvs")
     for i, seed in enumerate(seeds):
         state_seq, best_seq = _sequential_run(config, splits, seed, "cvs")
         _assert_member_matches(result, i, state_seq, best_seq)
+
+
+def test_ensemble_split_optimizer_runs():
+    """--optimizer split must work in the ensemble trainer when no lr
+    schedule is configured (it used to crash at trace time because a dummy
+    lr_scale array was always threaded into the batch), and must fail at
+    BUILD time with a clear message when one is."""
+    config = _tiny_config(num_epochs=2)
+    splits = _synthetic_splits()
+    result = _ensemble_run(config, splits, [3, 4], "cvs", optimizer="split")
+    assert np.all(np.isfinite(np.asarray(result.best_crit)))
+
+    with pytest.raises(ValueError, match="optimizer='shared'"):
+        _ensemble_run(
+            _tiny_config(num_epochs=2, lrdecay=True), splits, [3, 4], "cvs",
+            optimizer="split",
+        )
 
 
 @pytest.mark.slow
