@@ -122,8 +122,9 @@ def eval_split(
 
 def epoch_aux_mult(config, epoch: int):
     """Optional aux-site scale schedule (PARITY.md): warm-up
-    aux_mult_start -> aux_loss_multiplier over aux_warmup_epochs, then linear
-    anneal -> aux_mult_final over aux_anneal_epochs. None = the spec constant
+    aux_mult_start -> aux_loss_multiplier over aux_warmup_epochs, then (when
+    both are configured, starting AT the end of the warm-up) linear anneal
+    base -> aux_mult_final over aux_anneal_epochs. None = the spec constant
     (no schedule configured). Shared by the sequential epoch loop and the
     ensemble trainer (train/ensemble.aux_mult_schedule) so sweep members and
     CLI runs see identical multipliers."""
@@ -136,15 +137,21 @@ def epoch_aux_mult(config, epoch: int):
     has_anneal = bool(anneal) and final is not None
     if not has_warmup and not has_anneal:
         return None
-    m = (
-        float(start) + (base - float(start)) * min(1.0, epoch / warmup)
-        if has_warmup
-        else base
-    )
-    if has_anneal:
-        frac = min(1.0, epoch / anneal)
-        m = m * (1 - frac) + float(final) * frac
-    return float(m)
+    if has_warmup and has_anneal:
+        # sequential: ramp start->base over [0, warmup], hold is implicit in
+        # the anneal's own start at base, then base->final over the next
+        # ``anneal`` epochs. (They used to overlap from epoch 0, so the
+        # combined schedule silently never reached ``base``.)
+        if epoch <= warmup:
+            return float(start) + (base - float(start)) * (epoch / warmup)
+        frac = min(1.0, (epoch - warmup) / anneal)
+        return float(base * (1 - frac) + float(final) * frac)
+    if has_warmup:
+        return float(
+            float(start) + (base - float(start)) * min(1.0, epoch / warmup)
+        )
+    frac = min(1.0, epoch / anneal)
+    return float(base * (1 - frac) + float(final) * frac)
 
 
 def epoch_lr_scale(config, epoch: int):

@@ -170,12 +170,35 @@ def test_aux_mult_schedule_warmup_and_anneal():
     config.aux_warmup_epochs = 4
     config.aux_mult_final = 10.0
     config.aux_anneal_epochs = 8
-    sched = aux_mult_schedule(config, num_epochs=12)
+    sched = aux_mult_schedule(config, num_epochs=16)
+    # sequential composition: warm 0->46 over [0,4], then 46->10 over [4,12]
     assert sched[0] == 0.0
-    np.testing.assert_allclose(sched[4], 46.0 * 0.5 + 10.0 * 0.5)
-    np.testing.assert_allclose(sched[8:], 10.0)
-    for e in range(13):
+    np.testing.assert_allclose(sched[2], 23.0)
+    np.testing.assert_allclose(sched[4], 46.0)  # warm-up peaks at base
+    np.testing.assert_allclose(sched[8], 46.0 * 0.5 + 10.0 * 0.5)
+    np.testing.assert_allclose(sched[12:], 10.0)
+    for e in range(17):
         np.testing.assert_allclose(sched[e], epoch_aux_mult(config, e), rtol=1e-6)
+
+    # single-knob behaviors unchanged (the headline recipes)
+    warm = load_cvs_config()
+    warm.aux_loss_multiplier = 460.0
+    warm.aux_mult_start = 46.0
+    warm.aux_warmup_epochs = 4
+    warm.aux_mult_final = None
+    warm.aux_anneal_epochs = None
+    np.testing.assert_allclose(
+        aux_mult_schedule(warm, 6)[[0, 2, 4, 6]], [46.0, 253.0, 460.0, 460.0]
+    )
+    ann = load_cvs_config()
+    ann.aux_loss_multiplier = 460.0
+    ann.aux_mult_start = None
+    ann.aux_warmup_epochs = None
+    ann.aux_mult_final = 46.0
+    ann.aux_anneal_epochs = 4
+    np.testing.assert_allclose(
+        aux_mult_schedule(ann, 6)[[0, 2, 4, 6]], [460.0, 253.0, 46.0, 46.0]
+    )
 
     # no schedule configured -> driver returns None, ensemble uses the base
     config2 = load_cvs_config()
