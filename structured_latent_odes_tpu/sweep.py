@@ -254,8 +254,12 @@ def finalize_member(
     artifacts.dump_recon(out_dir, "prior", prior.recon)
 
     heldout = dataset == "proc" and cfg.get("heldout")
-    if heldout:
-        # zero-shot metric needs the 200-draw sample dump
+    if dataset in ("proc", "challenge"):
+        # the sequential proc/challenge drivers dump the num_samples-draw
+        # sample bands over the full val fold unconditionally
+        # (training_proc.py / training_challenge.py) — mirror them so sweep
+        # seed dirs carry the full artifact contract; for heldout the
+        # zero-shot metric additionally consumes this dump
         from structured_latent_odes_tpu.training_challenge import multiple_samples
 
         fb = {k: jax.device_put(v) for k, v in full_batch(splits["val"]).items()}
