@@ -224,11 +224,14 @@ def run_training_epochs(
     uninterrupted run would have made (tested in test_train_infra).
 
     With ``fast_eval`` (a ``svi.make_eval_epoch`` function), the per-epoch
-    statistics run as ONE fused dispatch per (split, mode) over eval batch
-    stacks cached on device — the recon-collecting ``eval_split`` host loop
-    is used only on epochs whose ``on_epoch`` plotting needs the arrays
-    (``config.plot_epoch``). Same RNG keys, same numbers (f32-tested), so
-    best-model selection is unchanged.
+    statistics — including the best-model selection criterion on EVERY
+    epoch — run as ONE fused dispatch per (split, mode) over eval batch
+    stacks cached on device. The recon-collecting ``eval_split`` host loop
+    runs additionally on epochs whose ``on_epoch`` plotting needs the
+    arrays (``config.plot_epoch``), with the same RNG keys, but never feeds
+    the criterion: selection compares a single numeric path across epochs
+    (fused f32 sums), so a plateau tie can't flip on the ~1e-5 relative
+    difference between the fused and host-f64 accumulations.
     """
     from structured_latent_odes_tpu.train import checkpoint as ckpt
 
@@ -333,7 +336,12 @@ def run_training_epochs(
             and epoch % config.plot_epoch == 0
             and config.get("plot", True)
         )
-        if fast_eval is not None and not needs_recon:
+        plot_post = plot_prior = None
+        if fast_eval is not None:
+            # the SELECTION criterion always comes from the fused path, so
+            # best-model comparison never mixes the f32 on-device sums with
+            # eval_split's host f64 accumulation (the two agree only to
+            # ~1e-5 relative — enough to flip a plateau tie across epochs)
             val_post = _fused_split(state.params, k1, "val", True)
             val_prior = _fused_split(state.params, k2, "val", False)
             if eval_train_stats:
@@ -341,6 +349,18 @@ def run_training_epochs(
                 train_prior = _fused_split(state.params, k4, "train", False)
             else:
                 train_post = train_prior = val_post
+            if needs_recon:
+                # plotting additionally needs the recon payloads — same keys
+                # as the fused calls, so the drawn reconstructions match the
+                # selection eval draw-for-draw
+                plot_post = eval_split(
+                    spec, state.params, k1, splits["val"], eval_fns, batch_size,
+                    is_post=True,
+                )
+                plot_prior = eval_split(
+                    spec, state.params, k2, splits["val"], eval_fns, batch_size,
+                    is_post=False,
+                )
         else:
             val_post = eval_split(
                 spec, state.params, k1, splits["val"], eval_fns, batch_size, is_post=True
@@ -410,7 +430,14 @@ def run_training_epochs(
         log.debug(line)
 
         if on_epoch is not None:
-            on_epoch(epoch, state, val_post, val_prior, train_post, train_prior)
+            on_epoch(
+                epoch,
+                state,
+                plot_post if plot_post is not None else val_post,
+                plot_prior if plot_prior is not None else val_prior,
+                train_post,
+                train_prior,
+            )
 
     return state, best
 
