@@ -54,6 +54,11 @@ def _common(config, latent_dim: int, n_time: int):
         backend=ode_backend,
         rtol=config.get("ode_rtol", 1e-6),
         atol=config.get("ode_atol", 1e-8),
+        # 'semilinear_auto' needs the physical width, which vmapped axes hide
+        # from the traced shape: ELBO particles here, ensemble members via
+        # config.auto_width_mult (set by sweep.py)
+        auto_width_mult=max(1, int(config.get("num_particles") or 1))
+        * max(1, int(config.get("auto_width_mult") or 1)),
     )
     decoder = DecoderSpec(
         kind="quantile" if _likelihood(config) == "quantile" else "gaussian",

@@ -51,6 +51,11 @@ class OdeModelSpec:
     backend: str = "semilinear"
     rtol: float = 1e-6
     atol: float = 1e-8
+    # physical-width multiplier for the 'semilinear_auto' dispatch: vmapped
+    # axes (ELBO particles, ensemble members) are invisible in the traced
+    # shape, so the per-trace lane count under-reports the physical width by
+    # this factor (zoo.py folds in num_particles; sweep.py the member count)
+    auto_width_mult: int = 1
 
 
 def ode_model_init(key: Array, spec: OdeModelSpec):
@@ -148,7 +153,10 @@ def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
             "semilinear_auto": "auto",
         }[spec.backend]
         prod_degr = lambda stage_ts: dynamics_prod_degr(params, stage_ts, z)
-        return solve_semilinear(prod_degr, x0, ts, method=spec.solver, backend=backend)
+        return solve_semilinear(
+            prod_degr, x0, ts, method=spec.solver, backend=backend,
+            width_mult=spec.auto_width_mult,
+        )
     if spec.backend == "generic":
         f = lambda t, x: dynamics_rhs(params, t, x, z)
         sol = odeint(f, x0, ts, method=spec.solver)

@@ -144,12 +144,16 @@ def solve_affine_sequential(A: Array, B: Array, x0: Array) -> Array:
 _PALLAS_MIN_LANES = 32768
 
 
-def _auto_scan_backend(A: Array) -> str:
+def _auto_scan_backend(A: Array, width_mult: int = 1) -> str:
     """Pick 'pallas' vs 'assoc' from static shapes at trace time: A has the
-    time axis at -2; everything else is elementwise lanes."""
+    time axis at -2; everything else is elementwise lanes. ``width_mult``
+    restores vmapped axes (ELBO particles, ensemble members) that the traced
+    shape cannot see — without it the dispatch under-reports the physical
+    width by that factor and picks 'assoc' in the HBM-bound regime the
+    crossover calibration says 'pallas'."""
     if jax.default_backend() != "tpu":
         return "assoc"
-    lanes = int(np.prod(A.shape)) // A.shape[-2]
+    lanes = (int(np.prod(A.shape)) // A.shape[-2]) * max(1, int(width_mult))
     return "pallas" if lanes >= _PALLAS_MIN_LANES else "assoc"
 
 
@@ -160,6 +164,7 @@ def solve_semilinear(
     method: str = "midpoint",
     *,
     backend: str = "assoc",
+    width_mult: int = 1,
 ) -> Array:
     """Integrate ``dx/dt = a(t) - d(t) x`` with a(t), d(t) given by a function
     of time only (per batch element).
@@ -173,6 +178,8 @@ def solve_semilinear(
         kernel from structured_latent_odes_tpu.ops), or 'auto' (shape-based
         trace-time dispatch: pallas in the HBM-bound wide regime, assoc
         otherwise — shapes are static under jit so this costs nothing).
+      width_mult: physical-width factor invisible to the traced shape (vmapped
+        particle/member axes); only consulted by the 'auto' dispatch.
 
     Returns:
       Solution with time axis *after* the batch axis: ``(B, T, D)`` — the
@@ -186,7 +193,7 @@ def solve_semilinear(
     h = ts[1:] - ts[:-1]
     A, B = rk_affine_coeffs(a, d, h, tableau)  # (B, T-1, D)
     if backend == "auto":
-        backend = _auto_scan_backend(A)
+        backend = _auto_scan_backend(A, width_mult)
     if backend == "assoc":
         # scan over the time axis, which sits at -2 for batched inputs
         sol = solve_affine_recurrence(A, B, x0, time_axis=A.ndim - 2)

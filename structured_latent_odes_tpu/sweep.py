@@ -387,6 +387,9 @@ def main(argv=None):
     config.lr_decay_start = args.lr_decay_start
 
     seeds = parse_seeds(args.seeds)
+    # member axis is vmapped, invisible to traced shapes — let the
+    # semilinear_auto dispatch account for the physical width (zoo.py)
+    config.auto_width_mult = len(seeds)
     os.makedirs(args.results_root, exist_ok=True)
     print(f"sweep: {args.dataset} x {len(seeds)} seeds {seeds}")
     print(config.to_json())

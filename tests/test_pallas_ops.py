@@ -94,8 +94,13 @@ def test_auto_backend_dispatch():
     if jax.default_backend() == "tpu":
         assert _auto_scan_backend(wide) == "pallas"
         assert _auto_scan_backend(narrow) == "assoc"
+        # vmapped axes (particles/members) are invisible in the traced shape;
+        # width_mult restores the physical lane count
+        assert _auto_scan_backend(narrow, width_mult=_PALLAS_MIN_LANES) == "pallas"
+        assert _auto_scan_backend(wide, width_mult=1) == "pallas"
     else:
         assert _auto_scan_backend(wide) == "assoc"
+        assert _auto_scan_backend(wide, width_mult=64) == "assoc"
 
     r = np.random.RandomState(0)
     B, T, D = 4, 9, 3
@@ -131,3 +136,20 @@ def test_auto_backend_via_model_spec():
         np.asarray(solve_ode(base, params, z, ts)),
         atol=1e-6,
     )
+
+
+def test_auto_width_mult_plumbing():
+    """num_particles (vmapped in make_dual_step) and the sweep's member count
+    (config.auto_width_mult) both reach the ode spec's width hint."""
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec
+
+    config = load_cvs_config()
+    config.num_particles = 2
+    config.auto_width_mult = 5
+    spec = cvs_spec(config, n_time=8)
+    assert spec.decoder.ode.auto_width_mult == 10
+
+    config2 = load_cvs_config()
+    spec2 = cvs_spec(config2, n_time=8)
+    assert spec2.decoder.ode.auto_width_mult == 1
