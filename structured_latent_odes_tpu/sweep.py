@@ -46,6 +46,7 @@ from structured_latent_odes_tpu.train.ensemble import (
     build_epoch_perms,
     lr_scale_schedule,
     make_ensemble_runner,
+    run_chunked,
     stack_members,
 )
 from structured_latent_odes_tpu.train.svi import make_eval_fns
@@ -146,8 +147,35 @@ def prepare_member(dataset: str, base_config, seed: int) -> Dict:
     }
 
 
-def train_ensemble(members: List[Dict], *, num_particles=1, optimizer="shared"):
-    """Stack member preps, compile once, run all members to completion."""
+# Per-dispatch budget in member-epochs before a long device execution trips
+# the axon tunnel's "TPU device error" abort: 10x4000 and 5x6000 proc sweeps
+# both died, 5x4000 completes (runs/r3/heldout_6000ep_*.log, queue13/14/16).
+CHUNK_BUDGET_MEMBER_EPOCHS = 20_000
+
+
+def auto_chunk_epochs(n_members: int, num_epochs: int) -> int:
+    """Chunk size keeping each dispatch within the observed-safe budget.
+
+    Returns 0 (single dispatch) when the whole run fits."""
+    total = n_members * num_epochs
+    if total <= CHUNK_BUDGET_MEMBER_EPOCHS:
+        return 0
+    n_chunks = -(-total // CHUNK_BUDGET_MEMBER_EPOCHS)
+    return -(-num_epochs // n_chunks)
+
+
+def train_ensemble(
+    members: List[Dict], *, num_particles=1, optimizer="shared",
+    chunk_epochs: int | None = None,
+):
+    """Stack member preps, compile once, run all members to completion.
+
+    ``chunk_epochs``: epochs per device dispatch.  None = auto (split only
+    when the run exceeds the safe member-epoch budget), 0 = force a single
+    dispatch, >0 = explicit chunk size.  Chunking threads the (state, best)
+    carry across dispatches and is numerically identical to a single
+    dispatch (tests/test_ensemble.py::test_chunked_matches_single_dispatch).
+    """
     m0 = members[0]
     spec, times, policy = m0["spec"], m0["times"], m0["policy"]
     cfg = m0["config"]
@@ -189,10 +217,21 @@ def train_ensemble(members: List[Dict], *, num_particles=1, optimizer="shared"):
         if m0["lr_sched"] is not None
         else None
     )
-    result = runner.run(
-        states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult,
-        refit_perms=refit_perms, lr_sched=lr_sched,
-    )
+    E = perms.shape[1]
+    if chunk_epochs is None:
+        chunk_epochs = auto_chunk_epochs(len(members), E)
+    if chunk_epochs and chunk_epochs < E:
+        print(f"  chunked dispatch: {chunk_epochs} epochs/chunk", flush=True)
+        result = run_chunked(
+            runner, states, eval_keys, train_splits, val_stacks, perms, mask,
+            aux_mult, chunk_epochs=chunk_epochs, lr_sched=lr_sched,
+            refit_perms=refit_perms, verbose=True,
+        )
+    else:
+        result = runner.run(
+            states, eval_keys, train_splits, val_stacks, perms, mask, aux_mult,
+            refit_perms=refit_perms, lr_sched=lr_sched,
+        )
     jax.block_until_ready(result.best_crit)
     return result
 
@@ -347,6 +386,10 @@ def parse_args(argv=None):
     p.add_argument("--ode-backend", default=None)
     p.add_argument("--data-path", default=None)
     p.add_argument("--reference-data-dir", default=None)
+    p.add_argument("--chunk-epochs", type=int, default=None,
+                   help="epochs per device dispatch (default: auto-split "
+                        "when members*epochs exceeds the safe budget; 0 "
+                        "forces a single dispatch)")
     return p.parse_args(argv)
 
 
@@ -401,6 +444,7 @@ def main(argv=None):
         members,
         num_particles=config.get("num_particles", 1),
         optimizer=config.get("optimizer", "shared"),
+        chunk_epochs=args.chunk_epochs,
     )
     t_train = time.time() - t0 - t_prep
     E = members[0]["perms"].shape[0]

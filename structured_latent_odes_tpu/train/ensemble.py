@@ -56,6 +56,8 @@ POLICIES = ("cvs", "proc", "proc_heldout", "challenge")
 class EnsembleRunner(NamedTuple):
     init_state: Any  # (params, key) -> SVIState — identical to the CLI driver's
     run: Any         # the jitted vmapped full-run function (see make_ensemble_runner)
+    run_chunk: Any   # (carry, splits, val, perms, mask, aux, lr, epochs) -> (carry, hist)
+    refit: Any       # vmapped standalone prior-refit (None when refit_epochs == 0)
 
 
 class EnsembleResult(NamedTuple):
@@ -244,15 +246,17 @@ def make_ensemble_runner(
 
     _prior_refit = make_prior_refit_fn(spec, ts, lr)
 
-    def run_one(
-        state: SVIState, eval_key, train_split, val_stack, perms, mask,
-        aux_mult, lr_sched, refit_perms=None,
+    def scan_span(
+        state: SVIState, eval_key, best_p, best_c, best_e, train_split,
+        val_stack, perms, mask, aux_mult, lr_sched, epochs,
     ):
-        best0 = (
-            jax.tree.map(jnp.asarray, state.params),
-            jnp.asarray(jnp.inf),
-            jnp.asarray(0, jnp.int32),
-        )
+        """Scan ``epoch_body`` over an arbitrary span of epochs.
+
+        ``epochs`` carries the ABSOLUTE epoch indices of the span, so the
+        selection policies record the same ``best_epoch`` whether the full
+        run is one dispatch or several chunks (the axon tunnel kills
+        single dispatches past ~20k member-epochs — see ``run_chunk``).
+        """
 
         def epoch_body(carry, xs):
             state, eval_key, best_p, best_c, best_e = carry
@@ -297,18 +301,36 @@ def make_ensemble_runner(
                 "loss_aux": mets["loss_aux"],
             }
 
+        carry0 = (state, eval_key, best_p, best_c, best_e)
+        return jax.lax.scan(epoch_body, carry0, (perms, aux_mult, lr_sched, epochs))
+
+    def run_one(
+        state: SVIState, eval_key, train_split, val_stack, perms, mask,
+        aux_mult, lr_sched, refit_perms=None,
+    ):
         E = perms.shape[0]
-        carry0 = (state, eval_key, *best0)
-        (state, eval_key_f, bp, bc, be), hist = jax.lax.scan(
-            epoch_body,
-            carry0,
-            (perms, aux_mult, lr_sched, jnp.arange(E, dtype=jnp.int32)),
+        (state, eval_key_f, bp, bc, be), hist = scan_span(
+            state, eval_key,
+            jax.tree.map(jnp.asarray, state.params),
+            jnp.asarray(jnp.inf), jnp.asarray(0, jnp.int32),
+            train_split, val_stack, perms, mask, aux_mult, lr_sched,
+            jnp.arange(E, dtype=jnp.int32),
         )
         if refit_epochs:
             bp = _prior_refit(
                 bp, jax.random.fold_in(eval_key_f, 77), train_split, refit_perms, mask
             )
         return EnsembleResult(state, bp, bc, be, hist)
+
+    def chunk_one(
+        state, eval_key, best_p, best_c, best_e, train_split, val_stack,
+        perms, mask, aux_mult, lr_sched, epochs,
+    ):
+        carry, hist = scan_span(
+            state, eval_key, best_p, best_c, best_e, train_split, val_stack,
+            perms, mask, aux_mult, lr_sched, epochs,
+        )
+        return carry, hist
 
     val_axis = 0 if needs_val else None
     if refit_epochs:
@@ -321,6 +343,52 @@ def make_ensemble_runner(
                 lambda s, e, t, v, p, m, a, l: run_one(s, e, t, v, p, m, a, l),
                 in_axes=(0, 0, 0, val_axis, 0, None, 0, 0),
             )
+        )
+
+    # chunked dispatch: same epoch_body, explicit best-carry, absolute epoch
+    # indices shared across members (in_axes=None)
+    run_chunk_v = jax.jit(
+        jax.vmap(
+            chunk_one,
+            in_axes=(0, 0, 0, 0, 0, 0, val_axis, 0, None, 0, 0, None),
+        )
+    )
+
+    if refit_epochs:
+        refit_v = jax.jit(
+            jax.vmap(
+                lambda bp, ek, split, rp, m: _prior_refit(
+                    bp, jax.random.fold_in(ek, 77), split, rp, m
+                ),
+                in_axes=(0, 0, 0, 0, None),
+            )
+        )
+    else:
+        refit_v = None
+
+    def run_chunk_wrapped(
+        carry, train_splits, val_stacks, perms, mask, aux_mult, lr_sched,
+        epochs,
+    ):
+        """One chunk of the epoch scan across all members.
+
+        ``carry`` is ``(states, eval_keys, best_p, best_c, best_e)`` — the
+        initial carry comes from the caller (params as best_p, +inf crit,
+        epoch 0) and the returned carry feeds the next chunk.  Splitting a
+        long run into fixed-size chunks is numerically identical to the
+        single-dispatch ``run`` (same op sequence; tested) but keeps each
+        device execution under the axon-tunnel abort threshold observed at
+        ~20k member-epochs (runs/r3/heldout_6000ep_*.log).
+        """
+        if needs_val and val_stacks is None:
+            raise ValueError(f"policy {policy!r} requires val_stacks")
+        if not needs_val:
+            val_stacks = None
+        if lr_sched is None:
+            lr_sched = jnp.ones_like(jnp.asarray(aux_mult))
+        return run_chunk_v(
+            *carry, train_splits, val_stacks, perms, mask, aux_mult,
+            lr_sched, jnp.asarray(epochs, jnp.int32),
         )
 
     def run_wrapped(
@@ -352,7 +420,64 @@ def make_ensemble_runner(
     def init_state(params, key) -> SVIState:
         return SVIState(params, optim.init(params), key)
 
-    return EnsembleRunner(init_state, run_wrapped)
+    return EnsembleRunner(init_state, run_wrapped, run_chunk_wrapped, refit_v)
+
+
+def run_chunked(
+    runner: EnsembleRunner,
+    states,
+    eval_keys,
+    train_splits,
+    val_stacks,
+    perms,
+    mask,
+    aux_mult,
+    *,
+    chunk_epochs: int,
+    lr_sched=None,
+    refit_perms=None,
+    verbose: bool = False,
+) -> EnsembleResult:
+    """Run the ensemble in fixed-size epoch chunks (multiple dispatches).
+
+    Numerically identical to ``runner.run`` — same epoch_body, the carry
+    (state, eval key chain, best params/crit/epoch) threads across chunk
+    boundaries — but each device execution stays bounded, which the axon
+    tunnel requires for long runs (single dispatches past ~20k member-epochs
+    abort with "TPU device error")."""
+    S = perms.shape[0]
+    E = perms.shape[1]
+    carry = (
+        states,
+        eval_keys,
+        states.params,
+        jnp.full((S,), jnp.inf, jnp.float32),
+        jnp.zeros((S,), jnp.int32),
+    )
+    hists = []
+    for s in range(0, E, chunk_epochs):
+        e = min(s + chunk_epochs, E)
+        carry, hist = runner.run_chunk(
+            carry,
+            train_splits,
+            val_stacks,
+            perms[:, s:e],
+            mask,
+            aux_mult[:, s:e],
+            lr_sched[:, s:e] if lr_sched is not None else None,
+            np.arange(s, e),
+        )
+        jax.block_until_ready(carry[3])
+        hists.append(jax.tree.map(np.asarray, hist))
+        if verbose:
+            print(f"  chunk epochs [{s},{e}) done", flush=True)
+    states_f, eval_keys_f, bp, bc, be = carry
+    if runner.refit is not None:
+        if refit_perms is None:
+            raise ValueError("runner built with refit_epochs needs refit_perms")
+        bp = runner.refit(bp, eval_keys_f, train_splits, refit_perms, mask)
+    history = {k: np.concatenate([h[k] for h in hists], axis=1) for k in hists[0]}
+    return EnsembleResult(states_f, bp, bc, be, history)
 
 
 def stack_members(trees):

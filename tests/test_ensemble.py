@@ -221,6 +221,95 @@ def test_ensemble_heldout_policy_overwrites():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("policy", ["cvs", "challenge"])
+def test_chunked_matches_single_dispatch(policy):
+    """run_chunked (multi-dispatch epoch chunks, uneven last chunk) must
+    reproduce the single-dispatch run exactly: same final params, best
+    criterion/epoch/params, same loss history. This is the path long runs
+    take on axon, where one >20k member-epoch dispatch aborts the device."""
+    from structured_latent_odes_tpu.train.ensemble import (
+        lr_scale_schedule,
+        run_chunked,
+    )
+
+    config = _tiny_config(num_epochs=4)  # E = 5 epochs -> chunks of 2,2,1
+    splits = _synthetic_splits()
+    seeds = [3, 4]
+    spec = cvs_spec(config, n_time=T)
+    ts = jnp.arange(float(T))
+    members = []
+    for seed in seeds:
+        key = set_seed(seed)
+        key, k_init, k_train, k_eval = jax.random.split(key, 4)
+        members.append(
+            {"params": init_params(k_init, spec), "k_train": k_train,
+             "k_eval": k_eval,
+             "perms": build_epoch_perms(
+                 N_TRAIN, BS, config.num_epochs, np.random.RandomState(seed)
+             )[0],
+             "aux_mult": aux_mult_schedule(config, config.num_epochs)}
+        )
+    mask = build_epoch_perms(N_TRAIN, BS, 0, np.random.RandomState(0))[1]
+    runner = make_ensemble_runner(
+        spec, ts, config.learning_rate, members[0]["params"], policy=policy,
+    )
+    states = stack_members(
+        [runner.init_state(m["params"], m["k_train"]) for m in members]
+    )
+    eval_keys = jnp.stack([m["k_eval"] for m in members])
+    train_splits = stack_members([splits["train"]] * len(seeds))
+    val_stacks = (
+        stack_members(
+            [stacked_minibatches(splits["val"], BS, shuffle=False)] * len(seeds)
+        )
+        if policy == "cvs"
+        else None
+    )
+    perms = jnp.asarray(np.stack([m["perms"] for m in members]))
+    aux = jnp.asarray(np.stack([m["aux_mult"] for m in members]))
+
+    single = runner.run(
+        states, eval_keys, train_splits, val_stacks, perms,
+        jnp.asarray(mask), aux,
+    )
+    chunked = run_chunked(
+        runner, states, eval_keys, train_splits, val_stacks, perms,
+        jnp.asarray(mask), aux, chunk_epochs=2,
+    )
+
+    for a, b in zip(
+        jax.tree.leaves(single.state.params), jax.tree.leaves(chunked.state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(chunked.best_crit), np.asarray(single.best_crit), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(chunked.best_epoch), np.asarray(single.best_epoch)
+    )
+    for a, b in zip(
+        jax.tree.leaves(single.best_params), jax.tree.leaves(chunked.best_params)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+    for k in single.history:
+        np.testing.assert_allclose(
+            np.asarray(chunked.history[k]), np.asarray(single.history[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+
+def test_auto_chunk_epochs_budget():
+    """Auto-chunking splits exactly the runs the axon tunnel kills (10x4000,
+    5x6000) and leaves the observed-safe ones (5x4000) in one dispatch."""
+    from structured_latent_odes_tpu.sweep import auto_chunk_epochs
+
+    assert auto_chunk_epochs(5, 4000) == 0          # observed safe
+    assert auto_chunk_epochs(10, 4000) == 2000      # observed fatal -> 2 chunks
+    assert auto_chunk_epochs(5, 6001) == 3001       # observed fatal -> 2 chunks
+    assert auto_chunk_epochs(1, 20000) == 0
+    assert auto_chunk_epochs(8, 100) == 0
+
+
 def test_build_epoch_perms_matches_stacked_minibatches():
     """Permutation builder consumes the host RNG exactly like the driver's
     stacked_minibatches — same composition, same padding."""
