@@ -38,14 +38,16 @@ sweep challenge chal_headline 12..19 --split 5 --data-seed 12 \
   --lr-final 1e-4 --lr-decay-start 2000
 
 # ---- Synbio proc (split 1; anchors post 6.019 / prior 16.524) --------------
-# HEADLINE: the reference's UNMODIFIED default config beats the posterior
-# anchor at 10/10 seeds (median 3.85, 22-40% better).
-sweep proc proc_headline 12..21 --split 1
+# HEADLINE: the reference's default config, horizon stretched 2500→4000
+# (queue 14: converged by 4000, selection spread 1721..3973) → median 3.68,
+# 10/10 seeds beat the posterior anchor by >=21%.
+sweep proc proc_headline 12..21 --split 1 --num-epochs 4000
 
 # Zero-shot heldout device h22 (anchors L1 5.874 / per-condition 11.747):
-# run as two 5-seed halves.
-sweep proc heldout_a 12..16 --heldout R33S34_Y81C76
-sweep proc heldout_b 17..21 --heldout R33S34_Y81C76
+# horizon 4000 (queue 16 shows 6000 is 0.09 WORSE — converged); run as two
+# 5-seed halves to stay under the axon device-abort footprint.
+sweep proc heldout_a 12..16 --heldout R33S34_Y81C76 --num-epochs 4000
+sweep proc heldout_b 17..21 --heldout R33S34_Y81C76 --num-epochs 4000
 
 # ---- Gauss-likelihood ablation (full decades at the exact headline recipes;
 #      RESULTS.md queue-9 table: statistically tied, quantile ahead by hairs)
