@@ -166,7 +166,7 @@ def auto_chunk_epochs(n_members: int, num_epochs: int) -> int:
 
 def train_ensemble(
     members: List[Dict], *, num_particles=1, optimizer="shared",
-    chunk_epochs: int | None = None,
+    chunk_epochs: int | None = None, ensemble_parallel: int = 0,
 ):
     """Stack member preps, compile once, run all members to completion.
 
@@ -175,6 +175,10 @@ def train_ensemble(
     dispatch, >0 = explicit chunk size.  Chunking threads the (state, best)
     carry across dispatches and is numerically identical to a single
     dispatch (tests/test_ensemble.py::test_chunked_matches_single_dispatch).
+
+    ``ensemble_parallel`` > 1 shards the member axis over an ``('ens',)``
+    device mesh (S/n members per device, zero collectives — the pod-scale
+    sweep layout; tests/test_ensemble.py::test_member_sharded_matches_unsharded).
     """
     m0 = members[0]
     spec, times, policy = m0["spec"], m0["times"], m0["policy"]
@@ -217,6 +221,23 @@ def train_ensemble(
         if m0["lr_sched"] is not None
         else None
     )
+    if ensemble_parallel and ensemble_parallel > 1:
+        from structured_latent_odes_tpu.train.ensemble import (
+            member_mesh,
+            shard_member_inputs,
+        )
+
+        mesh = member_mesh(ensemble_parallel)
+        (
+            states, eval_keys, train_splits, val_stacks, perms, aux_mult,
+            refit_perms, lr_sched,
+        ), (mask,) = shard_member_inputs(
+            mesh,
+            (states, eval_keys, train_splits, val_stacks, perms, aux_mult,
+             refit_perms, lr_sched),
+            (mask,),
+        )
+        print(f"  member axis sharded over {mesh.devices.size} devices", flush=True)
     E = perms.shape[1]
     if chunk_epochs is None:
         chunk_epochs = auto_chunk_epochs(len(members), E)
@@ -390,6 +411,10 @@ def parse_args(argv=None):
                    help="epochs per device dispatch (default: auto-split "
                         "when members*epochs exceeds the safe budget; 0 "
                         "forces a single dispatch)")
+    p.add_argument("--ensemble-parallel", type=int, default=0,
+                   help="shard the member axis over this many devices "
+                        "(('ens',) mesh, zero collectives; members must "
+                        "divide evenly; default 0 = single device)")
     return p.parse_args(argv)
 
 
@@ -445,6 +470,7 @@ def main(argv=None):
         num_particles=config.get("num_particles", 1),
         optimizer=config.get("optimizer", "shared"),
         chunk_epochs=args.chunk_epochs,
+        ensemble_parallel=args.ensemble_parallel,
     )
     t_train = time.time() - t0 - t_prep
     E = members[0]["perms"].shape[0]

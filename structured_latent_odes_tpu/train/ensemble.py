@@ -480,6 +480,60 @@ def run_chunked(
     return EnsembleResult(states_f, bp, bc, be, history)
 
 
+def member_mesh(n_devices: Optional[int] = None):
+    """1-D ``('ens',)`` mesh for sharding the ensemble's member axis.
+
+    Members never communicate (each is an independent full training run), so
+    sharding the leading member axis runs S/n members per device with ZERO
+    collectives — the pod-scale layout for sweeps: one chip trains S seeds in
+    one jit (vmap), a pod slice trains n×S in the same wall-clock.  The
+    reference has no analogue (one model per process,
+    /root/reference/training_cvs.py).  On this build's single real chip it is
+    a no-op; tests exercise it on the virtual 8-device CPU mesh (conftest),
+    and ``__graft_entry__.dryrun_multichip`` dry-runs it."""
+    devs = jax.devices()
+    n = int(n_devices) if n_devices else len(devs)
+    if n > len(devs):
+        raise ValueError(f"ensemble_parallel {n} > {len(devs)} available devices")
+    return jax.sharding.Mesh(np.asarray(devs[:n]), ("ens",))
+
+
+def shard_member_inputs(mesh, member_trees, replicated_trees=()):
+    """``device_put`` runner inputs onto the ``('ens',)`` mesh.
+
+    ``member_trees`` carry a leading member axis on every leaf — sharded
+    ``P('ens')``; ``replicated_trees`` (the shared batch mask) are replicated.
+    ``None`` entries pass through (optional val_stacks / refit_perms /
+    lr_sched).  Pure placement: the jitted vmapped runner sees the same
+    values, GSPMD partitions the member axis, and results are numerically
+    identical to the unsharded run (tested).  Returns the two groups in
+    input order."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ens = NamedSharding(mesh, PartitionSpec("ens"))
+    rep = NamedSharding(mesh, PartitionSpec())
+    n = mesh.devices.size
+
+    def put(tree, sharding):
+        if tree is None:
+            return None
+
+        def one(x):
+            x = jnp.asarray(x)
+            if sharding is ens and x.shape[0] % n:
+                raise ValueError(
+                    f"member axis {x.shape[0]} not divisible by mesh size {n}"
+                )
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(one, tree)
+
+    return (
+        tuple(put(t, ens) for t in member_trees),
+        tuple(put(t, rep) for t in replicated_trees),
+    )
+
+
 def stack_members(trees):
     """Stack a list of congruent pytrees along a new leading member axis."""
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)

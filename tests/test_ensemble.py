@@ -98,7 +98,8 @@ def _sequential_run(config, splits, seed, policy):
     return state, best
 
 
-def _ensemble_run(config, splits, seeds, policy, optimizer="shared"):
+def _ensemble_run(config, splits, seeds, policy, optimizer="shared",
+                  ensemble_parallel=0):
     from structured_latent_odes_tpu.train.ensemble import lr_scale_schedule
 
     spec = cvs_spec(config, n_time=T)
@@ -141,6 +142,21 @@ def _ensemble_run(config, splits, seeds, policy, optimizer="shared"):
         if lr_sched is not None
         else None
     )
+    if ensemble_parallel:
+        from structured_latent_odes_tpu.train.ensemble import (
+            member_mesh,
+            shard_member_inputs,
+        )
+
+        mesh = member_mesh(ensemble_parallel)
+        (
+            (states, eval_keys, train_splits, val_stacks, perms, aux, lrs),
+            (mask,),
+        ) = shard_member_inputs(
+            mesh,
+            (states, eval_keys, train_splits, val_stacks, perms, aux, lrs),
+            (mask,),
+        )
     return runner.run(
         states, eval_keys, train_splits, val_stacks, perms, mask, aux,
         lr_sched=lrs,
@@ -179,6 +195,43 @@ def test_ensemble_members_match_sequential_cvs(anneal, lrdecay):
     for i, seed in enumerate(seeds):
         state_seq, best_seq = _sequential_run(config, splits, seed, "cvs")
         _assert_member_matches(result, i, state_seq, best_seq)
+
+
+def test_member_sharded_matches_unsharded():
+    """Sharding the member axis over the 8-device ('ens',) mesh is pure
+    placement (members never communicate): the sharded run must reproduce
+    the single-device vmapped run — selection criterion, best epoch, and
+    best params per member."""
+    config = _tiny_config(3)
+    splits = _synthetic_splits()
+    seeds = list(range(8))
+    res_a = _ensemble_run(config, splits, seeds, "cvs")
+    res_b = _ensemble_run(config, splits, seeds, "cvs", ensemble_parallel=8)
+    np.testing.assert_allclose(
+        np.asarray(res_b.best_crit), np.asarray(res_a.best_crit), rtol=1e-6
+    )
+    assert np.array_equal(
+        np.asarray(res_b.best_epoch), np.asarray(res_a.best_epoch)
+    )
+    for a, b in zip(
+        jax.tree.leaves(res_a.best_params), jax.tree.leaves(res_b.best_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_member_sharding_requires_divisible_members():
+    from structured_latent_odes_tpu.train.ensemble import (
+        member_mesh,
+        shard_member_inputs,
+    )
+
+    mesh = member_mesh(8)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_member_inputs(mesh, (np.zeros((6, 3)),))
+    with pytest.raises(ValueError, match="available devices"):
+        member_mesh(9)
 
 
 def test_ensemble_split_optimizer_runs():
