@@ -5,9 +5,12 @@
 # wiped once mid-round-3 by a reset).
 set -u
 cd /root/repo
-for f in runs/r3/*/sweep.json; do
-  name=$(basename "$(dirname "$f")")
-  mkdir -p runs_evidence/r3
-  cp "$f" "runs_evidence/r3/$name.sweep.json"
+for tree in r3 repro; do
+  for f in runs/$tree/*/sweep.json; do
+    [ -e "$f" ] || continue
+    name=$(basename "$(dirname "$f")")
+    mkdir -p runs_evidence/$tree
+    cp "$f" "runs_evidence/$tree/$name.sweep.json"
+  done
 done
-ls runs_evidence/r3/ | wc -l
+ls runs_evidence/*/ | wc -l
