@@ -566,6 +566,12 @@ def main():
     baselines = sorted(bench_torch_baseline(iters=3) for _ in range(5))
     baseline = baselines[len(baselines) // 2]
     extra.update(bench_scale())
+    # Aggregate utilization when the chip is actually loaded the round-3 way
+    # (S concurrent training runs): member steps share the single-run step's
+    # shapes (batch 128, T=86), so its XLA FLOP count applies per member step.
+    fps, msps = extra.get("flops_per_step_xla"), extra.get("ensemble_member_steps_per_sec")
+    if fps and isinstance(msps, (int, float)):
+        extra["ensemble_aggregate_mfu"] = round(fps * msps / 197e12, 6)
     out = {
         "metric": "cvs_elbo_steps_per_sec",
         "value": round(steps_per_sec, 3),
