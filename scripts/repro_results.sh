@@ -3,6 +3,12 @@
 # All quality tables come from ENSEMBLE SWEEPS (S seeds in one jitted
 # dispatch, every-epoch best-model selection — the reference's cadence).
 # A 10-seed CVS sweep ≈ minutes; the whole file ≈ 1-2 h on a v5e chip.
+#
+# Determinism note: re-running a sweep with the SAME member count per
+# dispatch reproduces bit-exactly (queue 17 replicated queue 14's challenge
+# probe to the digit). Changing the member count (e.g. 10 in one dispatch
+# vs the 5+5 halves some tables used) shifts the auto-backend width hint
+# and hence compilation, perturbing medians by ~1% (proc 3.71 vs 3.68).
 set -e
 cd "$(dirname "$0")/.."
 OUT=runs/repro
