@@ -210,6 +210,9 @@ def bench_scale():
     out.update(bench_eval_ratio())
     # (3) auto backend dispatch: must match the winner at both shapes
     out.update(bench_auto_backend())
+    # (4) serving path (serve.make_predict_fns): batch-1 round-trip latency
+    # and large-batch reconstruction throughput
+    out.update(bench_serving())
 
     # Pallas fused affine-scan backend at its HBM-bound shape (B*D >= 100k)
     try:
@@ -351,6 +354,67 @@ def bench_eval_ratio(batch=128, n_time=86, n=810, reps=10):
         "eval_epoch_ms": round(t_eval * 1e3, 2),
         "train_epoch_ms": round(t_train * 1e3, 2),
         "eval_over_train_epoch_ratio": round(t_eval / t_train, 2),
+    }
+
+
+def bench_serving(n_time=86, reps=50, big_batch=4096):
+    """The production inference surface (serve.make_predict_fns, the exact
+    fns the serve CLI dispatches): batch-1 p50 round-trip latency for recon
+    and classify, and recon throughput at a serving-scale batch. Batch-1
+    numbers include the host<->device transport (on the axon tunnel that is
+    the dominant term — reported as measured)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from structured_latent_odes_tpu.data.configs import load_cvs_config
+    from structured_latent_odes_tpu.models import cvs_spec, init_params_fast
+    from structured_latent_odes_tpu.serve import make_predict_fns
+
+    config = load_cvs_config()
+    config.seq_len = n_time
+    spec = cvs_spec(config, n_time=n_time)
+    params = init_params_fast(jax.random.key(0), spec)
+    recon_fn, classify_fn = make_predict_fns(spec, np.arange(float(n_time)))
+
+    r = np.random.RandomState(0)
+
+    def make_batch(B):
+        return {
+            "observations": jnp.asarray(r.rand(B, 3, n_time).astype(np.float32)),
+            "iext": jnp.asarray((r.rand(B, 1) > 0.5).astype(np.float32)),
+            "rtpr": jnp.asarray((r.rand(B, 1) > 0.5).astype(np.float32)),
+        }
+
+    key = jax.random.key(1)
+    b1 = make_batch(1)
+    jax.block_until_ready(recon_fn(params, key, b1, True)["l1"])
+    lats = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(recon_fn(params, key, b1, True)["l1"])
+        lats.append(time.perf_counter() - t0)
+    recon_p50 = sorted(lats)[len(lats) // 2]
+
+    jax.block_until_ready(classify_fn(params, key, b1["observations"]))
+    lats = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(classify_fn(params, key, b1["observations"]))
+        lats.append(time.perf_counter() - t0)
+    classify_p50 = sorted(lats)[len(lats) // 2]
+
+    bb = make_batch(big_batch)
+    jax.block_until_ready(recon_fn(params, key, bb, True)["l1"])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = recon_fn(params, key, bb, True)
+    jax.block_until_ready(out["l1"])
+    tput = 5 * big_batch / (time.perf_counter() - t0)
+    return {
+        "serve_recon_p50_ms_batch1": round(recon_p50 * 1e3, 2),
+        "serve_classify_p50_ms_batch1": round(classify_p50 * 1e3, 2),
+        f"serve_recon_trajs_per_sec_batch{big_batch}": round(tput, 1),
     }
 
 
