@@ -229,11 +229,13 @@ def bench_scale():
     return out
 
 
-def bench_ensemble(S=8, epochs=20, n=810, batch=128, n_time=86):
+def bench_ensemble(S=16, epochs=20, n=810, batch=128, n_time=86):
     """S full CVS training runs in one jit (train/ensemble.py): aggregate
     dual-SVI member-steps/sec. The reference trains one model per process;
     this is the capability that turns the chip's idle 99.8% into experiment
-    throughput (round-3 sweeps: 10 seeds x 1000 epochs in ~9 min)."""
+    throughput (round-3 sweeps: 10 seeds x 1000 epochs in ~9 min).
+    S=16 is the measured throughput sweet spot of the member axis
+    (scripts/measure_ensemble_scaling.py; docs/PERFORMANCE.md table)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
