@@ -64,7 +64,7 @@ if [ -d /root/reference/data/cvs ]; then
     --aux-mult-start 46 --aux-warmup-epochs 1500 \
     --lr-final 5e-5 --lr-decay-start 2000
 fi
-sweep proc gauss_proc 12..21 --model MechanisticGauss --split 1
+sweep proc gauss_proc 12..21 --model MechanisticGauss --split 1 --num-epochs 4000
 sweep challenge gauss_chal 12..19 --model MechanisticGauss \
   --split 5 --data-seed 12 \
   --num-epochs 3000 --mini-batch-size 8 \
