@@ -60,7 +60,7 @@ sweep proc heldout_b 17..21 --heldout R33S34_Y81C76 --num-epochs 4000
 if [ -d /root/reference/data/cvs ]; then
   sweep cvs gauss_cvs 12..21 --model MechanisticGauss \
     --reference-data-dir /root/reference/data/cvs \
-    --num-epochs 4000 --aux-loss-multiplier 460 \
+    --num-epochs 5000 --aux-loss-multiplier 460 \
     --aux-mult-start 46 --aux-warmup-epochs 1500 \
     --lr-final 5e-5 --lr-decay-start 2000
 fi
