@@ -68,7 +68,8 @@ sweep proc gauss_proc 12..21 --model MechanisticGauss --split 1 --num-epochs 400
 sweep challenge gauss_chal 12..19 --model MechanisticGauss \
   --split 5 --data-seed 12 \
   --num-epochs 3000 --mini-batch-size 8 \
-  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1500
+  --aux-loss-multiplier 460 --aux-mult-final 46 --aux-anneal-epochs 1500 \
+  --lr-final 1e-4 --lr-decay-start 2000
 
 # ---- Sequential single-run CLI (artifact dump + notebook-equivalent eval) --
 # The sweep members above replicate this path bit-for-bit at each seed
