@@ -354,6 +354,33 @@ def finalize_member(
 
 
 # ---------------------------------------------------------------------------
+# ensemble member selection (deploy-time model choice, no test peeking)
+# ---------------------------------------------------------------------------
+
+
+def select_member(members: List[Dict], min_best_epoch: int = 0) -> Dict:
+    """Pick ONE member of a trained ensemble by its training-time selection
+    criterion — the deployable answer to seed variance: train S seeds in one
+    dispatch (~1 sequential run's wall-clock), keep the member the validation
+    signal prefers.  Uses only quantities available before touching the test
+    split: each member's best-model criterion (val-ELBO for cvs/proc, train
+    loss for challenge — the same per-member signal the reference's early
+    stopping uses, training_cvs.py:325-331) and its ``best_epoch``.
+
+    ``min_best_epoch`` is the *converged-epoch guard*: with aux warm-up +
+    late lr decay, a member whose criterion peaked mid-transient (before the
+    anneal completed / decay began) snapshots an unconverged model whose
+    val-ELBO is not comparable to converged members'; require
+    ``best_epoch >= lr_decay_start`` so only converged members compete.
+    Falls back to the unguarded argmin if no member qualifies.  Validated on
+    18/18 evidence decades (RESULTS.md "Best-of-ensemble selection").
+    """
+    eligible = [m for m in members if m["best_epoch"] >= min_best_epoch]
+    pool = eligible or members
+    return min(pool, key=lambda m: m["criterion"])
+
+
+# ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
 
@@ -501,11 +528,14 @@ def main(argv=None):
         )
 
     wall = time.time() - t0
+    guard = int(config.get("lr_decay_start") or 0)
+    picked = select_member(summary, min_best_epoch=guard)
     out = {
         "dataset": args.dataset,
         "seeds": seeds,
         "config": json.loads(config.to_json()),
         "members": summary,
+        "selected": {**picked, "min_best_epoch": guard},
         "wall_seconds": wall,
         "train_seconds": t_train,
     }
@@ -517,6 +547,10 @@ def main(argv=None):
         f"SWEEP DONE [{wall:.0f}s]: post median {np.median(posts):.4f} "
         f"(min {min(posts):.4f} max {max(posts):.4f})  prior median "
         f"{np.median(priors):.4f} (min {min(priors):.4f} max {max(priors):.4f})"
+    )
+    print(
+        f"SELECTED (by criterion, best_epoch>={guard}): seed {picked['seed']} "
+        f"-> post {picked['l1_post']:.4f}  prior {picked['l1_prior']:.4f}"
     )
     return out
 

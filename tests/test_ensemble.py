@@ -431,3 +431,25 @@ def test_prior_refit_changes_only_priors():
     ]
     assert max(diffs) > 0, "refit did not move the prior nets"
     assert int(plain.best_epoch[0]) == int(refit.best_epoch[0])
+
+
+def test_select_member_converged_epoch_guard():
+    """select_member picks the criterion argmin among converged members only.
+
+    Regression for the two observed failure decades (RESULTS.md
+    'Best-of-ensemble selection'): a member whose val-ELBO peaked mid
+    warm-up transient (best_epoch < lr_decay_start) must not win on its
+    non-comparable criterion; with no converged member, fall back to the
+    unguarded argmin rather than failing.
+    """
+    from structured_latent_odes_tpu.sweep import select_member
+
+    members = [
+        {"seed": 44, "criterion": -783.98, "best_epoch": 1246},  # transient spike
+        {"seed": 48, "criterion": -780.78, "best_epoch": 4935},
+        {"seed": 43, "criterion": -770.35, "best_epoch": 4999},
+    ]
+    assert select_member(members)["seed"] == 44  # unguarded argmin
+    assert select_member(members, min_best_epoch=2000)["seed"] == 48
+    # nobody converged -> fall back to global argmin
+    assert select_member(members, min_best_epoch=5000)["seed"] == 44
