@@ -197,6 +197,7 @@ def test_ensemble_members_match_sequential_cvs(anneal, lrdecay):
         _assert_member_matches(result, i, state_seq, best_seq)
 
 
+@pytest.mark.slow
 def test_member_sharded_matches_unsharded():
     """Sharding the member axis over the 8-device ('ens',) mesh is pure
     placement (members never communicate): the sharded run must reproduce
@@ -234,6 +235,7 @@ def test_member_sharding_requires_divisible_members():
         member_mesh(9)
 
 
+@pytest.mark.slow
 def test_ensemble_split_optimizer_runs():
     """--optimizer split must work in the ensemble trainer when no lr
     schedule is configured (it used to crash at trace time because a dummy
@@ -262,6 +264,7 @@ def test_ensemble_members_match_sequential_challenge_policy():
     _assert_member_matches(result, 0, state_seq, best_seq)
 
 
+@pytest.mark.slow
 def test_ensemble_heldout_policy_overwrites():
     """proc_heldout policy: best params == final params, epoch == E."""
     config = _tiny_config(num_epochs=2)
@@ -274,6 +277,7 @@ def test_ensemble_heldout_policy_overwrites():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("policy", ["cvs", "challenge"])
 def test_chunked_matches_single_dispatch(policy):
     """run_chunked (multi-dispatch epoch chunks, uneven last chunk) must
