@@ -2,10 +2,13 @@
 """Best-of-ensemble selection analysis over saved sweep.json evidence.
 
 For each sweep, applies ``structured_latent_odes_tpu.sweep.select_member``
-(argmin training-time criterion with the converged-epoch guard) and reports
-the selected member's TEST metrics next to the reference anchors.  This is
-the deploy-time recipe evaluation: selection uses only validation-side
-signals recorded during training; test metrics are read out afterwards.
+(criterion + selection-split prior-L1 rank-combine when ``sel_prior_l1`` is
+recorded — round-4 rule; criterion argmin for older sweeps — with the
+converged-epoch guard) and reports the selected member's TEST metrics next to
+the reference anchors.  This is the deploy-time recipe evaluation: selection
+uses only training-time signals; test metrics are read out afterwards.  Note
+proc_heldout sweeps have no validation signal at all — their criterion is the
+FINAL epoch's mean train loss (training_proc.py:389-393 overwrite policy).
 
 Usage::
 
@@ -38,30 +41,40 @@ def main():
     n_post = n_both = 0
     for path in args.sweeps:
         d = json.load(open(path))
-        guard = (
-            int(d["config"].get("lr_decay_start") or 0)
-            if args.min_best_epoch == "auto"
-            else int(args.min_best_epoch)
+        # guard mirrors epoch_lr_scale's activation: decay (and a converged
+        # epoch to guard on) exists only when BOTH lr knobs are set
+        has_decay = (
+            d["config"].get("lr_decay_start") and d["config"].get("lr_final")
         )
+        guard = (
+            int(d["config"]["lr_decay_start"]) if has_decay else 0
+        ) if args.min_best_epoch == "auto" else int(args.min_best_epoch)
         b = select_member(d["members"], min_best_epoch=guard)
         beats_post = args.anchor_post is not None and b["l1_post"] < args.anchor_post
-        beats_prior = args.anchor_prior is None or b["l1_prior"] < args.anchor_prior
+        beats_prior = (
+            args.anchor_prior is not None and b["l1_prior"] < args.anchor_prior
+        )
         n_post += beats_post
-        n_both += beats_post and beats_prior
+        n_both += beats_post and (args.anchor_prior is None or beats_prior)
+        # only claim BOTH when a prior anchor was actually supplied
         verdict = (
             "BOTH" if beats_post and beats_prior
             else "post" if beats_post else "miss"
         ) if args.anchor_post is not None else "-"
         name = path.rsplit("/", 1)[-1].replace(".sweep.json", "")
+        flag = " GUARD-FALLBACK" if b.get("guard_fallback") else ""
         print(
             f"{name:36s} S={len(d['members']):2d} guard>={guard:4d} "
             f"pick seed {b['seed']:3d} (ep {b['best_epoch']:4d}): "
-            f"post {b['l1_post']:.4f}  prior {b['l1_prior']:.4f}  [{verdict}]"
+            f"post {b['l1_post']:.4f}  prior {b['l1_prior']:.4f}  [{verdict}]{flag}"
         )
     if args.anchor_post is not None:
+        both_label = (
+            "both anchors" if args.anchor_prior is not None else "the post anchor"
+        )
         print(
             f"=> selected member beats post anchor in {n_post}/{len(args.sweeps)} "
-            f"sweeps, both anchors in {n_both}/{len(args.sweeps)}"
+            f"sweeps, {both_label} in {n_both}/{len(args.sweeps)}"
         )
 
 

@@ -358,26 +358,90 @@ def finalize_member(
 # ---------------------------------------------------------------------------
 
 
+def selection_prior_l1(member: Dict, best_params, reconstruct) -> float:
+    """Prior-mode reconstruction L1 on the member's SELECTION split, at the
+    member's best params — the second selection signal (alongside the
+    criterion) that the round-3 blind run showed is needed: the val-ELBO /
+    train-loss criterion is blind to PRIOR-mode quality, and the one blind
+    anchor miss (proc seed 44 over 46, runs_evidence/r3/proc_blind_sel)
+    happened exactly because the criterion winner had a lagging conditional
+    prior that a dominated member did not.
+
+    Test-blind by construction: the split read here is the one the member's
+    best-model criterion already reads during training — the val split for
+    the cvs/proc CV policies (the reference's own early stopping reads val,
+    /root/reference/training_cvs.py:325-331, training_proc.py:380-388), the
+    TRAIN split for challenge / proc_heldout whose criteria never touch a
+    validation fold (training_challenge.py:368-375, training_proc.py:389-393).
+    Keying matches eval_split: one key for the whole split + per-sample draw
+    ids, so the number is batch-size-invariant.
+    """
+    if member["val_stack"] is not None:  # cvs / proc CV: the criterion's split
+        stack = member["val_stack"]
+    else:  # challenge / proc_heldout: criterion reads only train
+        stack = stacked_minibatches(
+            member["splits"]["train"],
+            member["config"].mini_batch_size,
+            shuffle=False,
+        )
+    key = jax.random.fold_in(member["k_eval"], 101)
+    masks = np.asarray(stack["mask"])
+    tot = n_tot = 0.0
+    for i in range(masks.shape[0]):
+        batch = {k: jnp.asarray(v)[i] for k, v in stack.items()}
+        r = reconstruct(best_params, key, batch, False)
+        n = float(masks[i].sum())
+        tot += float(r["l1"]) * n
+        n_tot += n
+    return tot / max(n_tot, 1.0)
+
+
 def select_member(members: List[Dict], min_best_epoch: int = 0) -> Dict:
-    """Pick ONE member of a trained ensemble by its training-time selection
-    criterion — the deployable answer to seed variance: train S seeds in one
-    dispatch (~1 sequential run's wall-clock), keep the member the validation
-    signal prefers.  Uses only quantities available before touching the test
-    split: each member's best-model criterion (val-ELBO for cvs/proc, train
-    loss for challenge — the same per-member signal the reference's early
-    stopping uses, training_cvs.py:325-331) and its ``best_epoch``.
+    """Pick ONE member of a trained ensemble — the deployable answer to seed
+    variance: train S seeds in one dispatch (~1 sequential run's wall-clock),
+    keep the member the training-time selection signals prefer.  Uses only
+    quantities available before touching the test split:
+
+    - the best-model **criterion** (val-ELBO for cvs / proc CV; mean train
+      epoch loss for challenge; FINAL-epoch mean train loss for proc_heldout,
+      whose every-epoch-overwrite policy has no validation signal at all —
+      training_proc.py:389-393) — the same per-member signal the reference's
+      early stopping uses (training_cvs.py:325-331), and
+    - ``sel_prior_l1``, the prior-mode recon L1 on the criterion's own split
+      (:func:`selection_prior_l1`), which catches members whose conditional
+      prior lags a good posterior (the round-3 blind proc miss).
+
+    When every member carries ``sel_prior_l1`` the two signals are
+    **rank-combined**: members are ranked by each signal independently and
+    the smallest rank-sum wins (criterion breaks rank ties).  Sweeps recorded
+    before the prior signal existed fall back to the criterion argmin.
 
     ``min_best_epoch`` is the *converged-epoch guard*: with aux warm-up +
-    late lr decay, a member whose criterion peaked mid-transient (before the
-    anneal completed / decay began) snapshots an unconverged model whose
-    val-ELBO is not comparable to converged members'; require
-    ``best_epoch >= lr_decay_start`` so only converged members compete.
-    Falls back to the unguarded argmin if no member qualifies.  Validated on
-    18/18 evidence decades (RESULTS.md "Best-of-ensemble selection").
+    late lr decay, a member whose criterion peaked mid-transient snapshots an
+    unconverged model whose val-ELBO is not comparable to converged members';
+    require ``best_epoch >= lr_decay_start`` so only converged members
+    compete.  If NO member qualifies the unguarded pool is used and the
+    returned dict carries ``guard_fallback=True`` so the condition is loud in
+    sweep.json rather than silently picking a mid-transient snapshot.
     """
     eligible = [m for m in members if m["best_epoch"] >= min_best_epoch]
+    fallback = bool(min_best_epoch > 0 and not eligible)
     pool = eligible or members
-    return min(pool, key=lambda m: m["criterion"])
+    if len(pool) > 1 and all(m.get("sel_prior_l1") is not None for m in pool):
+        by_crit = sorted(range(len(pool)), key=lambda i: pool[i]["criterion"])
+        by_prior = sorted(range(len(pool)), key=lambda i: pool[i]["sel_prior_l1"])
+        rank = [0] * len(pool)
+        for order in (by_crit, by_prior):
+            for r, i in enumerate(order):
+                rank[i] += r
+        picked = pool[
+            min(range(len(pool)), key=lambda i: (rank[i], pool[i]["criterion"]))
+        ]
+    else:
+        picked = min(pool, key=lambda m: m["criterion"])
+    picked = dict(picked)
+    picked["guard_fallback"] = fallback
+    return picked
 
 
 # ---------------------------------------------------------------------------
@@ -520,16 +584,29 @@ def main(argv=None):
             eval_fns=shared_eval_fns,
         )
         row["criterion"] = float(best_crits[i])
+        row["sel_prior_l1"] = selection_prior_l1(m, bp, shared_eval_fns[2])
         summary.append(row)
         print(
             f"seed {m['seed']}: post {row['l1_post']:.4f}  prior "
-            f"{row['l1_prior']:.4f}  best_epoch {row['best_epoch']}  "
-            f"{row['label_metrics_post']}"
+            f"{row['l1_prior']:.4f}  sel_prior_l1 {row['sel_prior_l1']:.4f}  "
+            f"best_epoch {row['best_epoch']}  {row['label_metrics_post']}"
         )
 
     wall = time.time() - t0
-    guard = int(config.get("lr_decay_start") or 0)
+    # the converged-epoch guard mirrors epoch_lr_scale's activation condition:
+    # decay (and hence the notion of a converged epoch) only exists when BOTH
+    # lr_decay_start and lr_final are set
+    guard = (
+        int(config.get("lr_decay_start") or 0)
+        if config.get("lr_final") is not None
+        else 0
+    )
     picked = select_member(summary, min_best_epoch=guard)
+    if picked["guard_fallback"]:
+        print(
+            f"WARNING: no member reached best_epoch>={guard}; selection fell "
+            "back to the unguarded pool (selected.guard_fallback=true)"
+        )
     out = {
         "dataset": args.dataset,
         "seeds": seeds,
@@ -549,8 +626,9 @@ def main(argv=None):
         f"{np.median(priors):.4f} (min {min(priors):.4f} max {max(priors):.4f})"
     )
     print(
-        f"SELECTED (by criterion, best_epoch>={guard}): seed {picked['seed']} "
-        f"-> post {picked['l1_post']:.4f}  prior {picked['l1_prior']:.4f}"
+        f"SELECTED (criterion+prior rank-combine, best_epoch>={guard}): "
+        f"seed {picked['seed']} -> post {picked['l1_post']:.4f}  "
+        f"prior {picked['l1_prior']:.4f}"
     )
     return out
 
