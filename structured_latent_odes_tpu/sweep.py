@@ -167,6 +167,7 @@ def auto_chunk_epochs(n_members: int, num_epochs: int) -> int:
 def train_ensemble(
     members: List[Dict], *, num_particles=1, optimizer="shared",
     chunk_epochs: int | None = None, ensemble_parallel: int = 0,
+    ensemble_data_parallel: int = 1,
 ):
     """Stack member preps, compile once, run all members to completion.
 
@@ -179,6 +180,10 @@ def train_ensemble(
     ``ensemble_parallel`` > 1 shards the member axis over an ``('ens',)``
     device mesh (S/n members per device, zero collectives — the pod-scale
     sweep layout; tests/test_ensemble.py::test_member_sharded_matches_unsharded).
+    ``ensemble_data_parallel`` > 1 additionally shards each member's
+    minibatch dimension over a second 'data' mesh axis (S×n devices total;
+    XLA inserts the per-loss gradient psum over 'data') — the layout when S
+    alone can't fill a pod slice.
     """
     m0 = members[0]
     spec, times, policy = m0["spec"], m0["times"], m0["policy"]
@@ -221,23 +226,25 @@ def train_ensemble(
         if m0["lr_sched"] is not None
         else None
     )
-    if ensemble_parallel and ensemble_parallel > 1:
+    if (ensemble_parallel and ensemble_parallel > 1) or ensemble_data_parallel > 1:
         from structured_latent_odes_tpu.train.ensemble import (
             member_mesh,
-            shard_member_inputs,
+            shard_runner_inputs,
         )
 
-        mesh = member_mesh(ensemble_parallel)
+        mesh = member_mesh(ensemble_parallel or None, n_data=ensemble_data_parallel)
         (
-            states, eval_keys, train_splits, val_stacks, perms, aux_mult,
-            refit_perms, lr_sched,
-        ), (mask,) = shard_member_inputs(
-            mesh,
-            (states, eval_keys, train_splits, val_stacks, perms, aux_mult,
-             refit_perms, lr_sched),
-            (mask,),
+            states, eval_keys, train_splits, val_stacks, perms, mask,
+            aux_mult, refit_perms, lr_sched,
+        ) = shard_runner_inputs(
+            mesh, states=states, eval_keys=eval_keys, train_splits=train_splits,
+            val_stacks=val_stacks, perms=perms, mask=mask, aux_mult=aux_mult,
+            refit_perms=refit_perms, lr_sched=lr_sched,
         )
-        print(f"  member axis sharded over {mesh.devices.size} devices", flush=True)
+        print(
+            f"  ensemble sharded over {mesh.devices.size} devices "
+            f"({dict(mesh.shape)})", flush=True
+        )
     E = perms.shape[1]
     if chunk_epochs is None:
         chunk_epochs = auto_chunk_epochs(len(members), E)
@@ -506,6 +513,10 @@ def parse_args(argv=None):
                    help="shard the member axis over this many devices "
                         "(('ens',) mesh, zero collectives; members must "
                         "divide evenly; default 0 = single device)")
+    p.add_argument("--ensemble-data-parallel", type=int, default=1,
+                   help="additionally shard each member's minibatch over "
+                        "this many devices (('ens','data') 2-D mesh; total "
+                        "devices = ensemble_parallel x this)")
     return p.parse_args(argv)
 
 
@@ -562,6 +573,7 @@ def main(argv=None):
         optimizer=config.get("optimizer", "shared"),
         chunk_epochs=args.chunk_epochs,
         ensemble_parallel=args.ensemble_parallel,
+        ensemble_data_parallel=args.ensemble_data_parallel,
     )
     t_train = time.time() - t0 - t_prep
     E = members[0]["perms"].shape[0]

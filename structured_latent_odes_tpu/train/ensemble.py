@@ -480,21 +480,35 @@ def run_chunked(
     return EnsembleResult(states_f, bp, bc, be, history)
 
 
-def member_mesh(n_devices: Optional[int] = None):
-    """1-D ``('ens',)`` mesh for sharding the ensemble's member axis.
+def member_mesh(n_devices: Optional[int] = None, n_data: int = 1):
+    """``('ens',)`` or 2-D ``('ens', 'data')`` mesh for the ensemble.
 
     Members never communicate (each is an independent full training run), so
     sharding the leading member axis runs S/n members per device with ZERO
     collectives — the pod-scale layout for sweeps: one chip trains S seeds in
     one jit (vmap), a pod slice trains n×S in the same wall-clock.  The
     reference has no analogue (one model per process,
-    /root/reference/training_cvs.py).  On this build's single real chip it is
-    a no-op; tests exercise it on the virtual 8-device CPU mesh (conftest),
-    and ``__graft_entry__.dryrun_multichip`` dry-runs it."""
+    /root/reference/training_cvs.py).
+
+    ``n_data > 1`` adds a second mesh axis that shards each member's
+    MINIBATCH dimension — the natural pod-slice layout when S alone can't
+    fill the slice: every (ens, data) submesh column trains the same member
+    on 1/n_data of each batch, XLA inserting the gradient ``psum`` over
+    'data' while the member axis stays collective-free.  ``n_devices`` then
+    counts the ENS extent (total devices used = n_devices × n_data).
+
+    On this build's single real chip both layouts are no-ops; tests exercise
+    them on the virtual 8-device CPU mesh (conftest), and
+    ``__graft_entry__.dryrun_multichip`` dry-runs them."""
     devs = jax.devices()
-    n = int(n_devices) if n_devices else len(devs)
-    if n > len(devs):
-        raise ValueError(f"ensemble_parallel {n} > {len(devs)} available devices")
+    n = int(n_devices) if n_devices else len(devs) // max(n_data, 1)
+    if n * n_data > len(devs):
+        raise ValueError(
+            f"ensemble mesh {n}x{n_data} > {len(devs)} available devices"
+        )
+    if n_data > 1:
+        grid = np.asarray(devs[: n * n_data]).reshape(n, n_data)
+        return jax.sharding.Mesh(grid, ("ens", "data"))
     return jax.sharding.Mesh(np.asarray(devs[:n]), ("ens",))
 
 
@@ -531,6 +545,65 @@ def shard_member_inputs(mesh, member_trees, replicated_trees=()):
     return (
         tuple(put(t, ens) for t in member_trees),
         tuple(put(t, rep) for t in replicated_trees),
+    )
+
+
+def shard_runner_inputs(
+    mesh, *, states, eval_keys, train_splits, val_stacks, perms, mask,
+    aux_mult, refit_perms=None, lr_sched=None,
+):
+    """``device_put`` the full ensemble-runner input set onto a 1-D
+    ``('ens',)`` or 2-D ``('ens', 'data')`` mesh (:func:`member_mesh`).
+
+    Layout on the 2-D mesh: every member-axis leaf is ``P('ens', ...)``;
+    additionally the MINIBATCH dimension shards over 'data' where it exists —
+    ``perms``/``refit_perms`` (S, E, nb, B) as ``P('ens', None, None,
+    'data')``, ``val_stacks`` (S, nb_v, B_v, ...) as ``P('ens', None,
+    'data')``, the shared ``mask`` (nb, B) as ``P(None, 'data')``.  The
+    member's train split stays replicated over 'data' (each column gathers
+    its own B/n_data rows locally); params/opt state replicate over 'data',
+    so GSPMD derives batch-sharded activations and inserts ONE gradient
+    ``psum`` over 'data' per loss — the standard DP decomposition, composed
+    with the collective-free member axis.  Pure placement: results are
+    numerically equal to the vmapped single-device run up to f32 reduction
+    order (dryrun-verified).  Returns the inputs in ``runner.run`` order.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    has_data = "data" in mesh.axis_names
+    n_data = mesh.shape["data"] if has_data else 1
+
+    def put(tree, spec):
+        if tree is None:
+            return None
+        sharding = NamedSharding(mesh, spec)
+
+        def one(x):
+            x = jnp.asarray(x)
+            for dim, name in enumerate(spec):
+                if name is None:
+                    continue
+                extent = mesh.shape[name]
+                if x.shape[dim] % extent:
+                    raise ValueError(
+                        f"axis {dim} ({name}) of shape {x.shape} not divisible "
+                        f"by mesh extent {extent}"
+                    )
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(one, tree)
+
+    batch_tail = ("data",) if has_data and n_data > 1 else ()
+    return (
+        put(states, P("ens")),
+        put(eval_keys, P("ens")),
+        put(train_splits, P("ens")),
+        put(val_stacks, P("ens", None, *batch_tail)),
+        put(perms, P("ens", None, None, *batch_tail)),
+        put(mask, P(None, *batch_tail)),
+        put(aux_mult, P("ens")),
+        put(refit_perms, P("ens", None, None, *batch_tail)),
+        put(lr_sched, P("ens")),
     )
 
 

@@ -99,7 +99,7 @@ def _sequential_run(config, splits, seed, policy):
 
 
 def _ensemble_run(config, splits, seeds, policy, optimizer="shared",
-                  ensemble_parallel=0):
+                  ensemble_parallel=0, ens_data=1):
     from structured_latent_odes_tpu.train.ensemble import lr_scale_schedule
 
     spec = cvs_spec(config, n_time=T)
@@ -142,20 +142,20 @@ def _ensemble_run(config, splits, seeds, policy, optimizer="shared",
         if lr_sched is not None
         else None
     )
-    if ensemble_parallel:
+    if ensemble_parallel or ens_data > 1:
         from structured_latent_odes_tpu.train.ensemble import (
             member_mesh,
-            shard_member_inputs,
+            shard_runner_inputs,
         )
 
-        mesh = member_mesh(ensemble_parallel)
+        mesh = member_mesh(ensemble_parallel or None, n_data=ens_data)
         (
-            (states, eval_keys, train_splits, val_stacks, perms, aux, lrs),
-            (mask,),
-        ) = shard_member_inputs(
-            mesh,
-            (states, eval_keys, train_splits, val_stacks, perms, aux, lrs),
-            (mask,),
+            states, eval_keys, train_splits, val_stacks, perms, mask, aux,
+            _rp, lrs,
+        ) = shard_runner_inputs(
+            mesh, states=states, eval_keys=eval_keys,
+            train_splits=train_splits, val_stacks=val_stacks, perms=perms,
+            mask=mask, aux_mult=aux, lr_sched=lrs,
         )
     return runner.run(
         states, eval_keys, train_splits, val_stacks, perms, mask, aux,
@@ -219,6 +219,33 @@ def test_member_sharded_matches_unsharded():
     ):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
+
+
+@pytest.mark.slow
+def test_ens_data_sharded_matches_unsharded():
+    """The 2-D ('ens','data') mesh — 4 members x 2 batch shards each — must
+    reproduce the single-device vmapped run up to f32 psum reduction order:
+    each 'data' column computes gradients on half of every minibatch and XLA
+    reduces them, which is the same math as the unsharded batch."""
+    config = _tiny_config(3)
+    splits = _synthetic_splits()
+    seeds = list(range(4))
+    res_a = _ensemble_run(config, splits, seeds, "cvs")
+    res_b = _ensemble_run(config, splits, seeds, "cvs", ensemble_parallel=4,
+                          ens_data=2)
+    np.testing.assert_allclose(
+        np.asarray(res_b.best_crit), np.asarray(res_a.best_crit),
+        rtol=2e-4,
+    )
+    assert np.array_equal(
+        np.asarray(res_b.best_epoch), np.asarray(res_a.best_epoch)
+    )
+    for a, b in zip(
+        jax.tree.leaves(res_a.best_params), jax.tree.leaves(res_b.best_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
         )
 
 
