@@ -261,15 +261,25 @@ def make_ensemble_runner(
         def epoch_body(carry, xs):
             state, eval_key, best_p, best_c, best_e = carry
             perm, mult, lr_sc, epoch = xs
-            batches = {k: v[perm] for k, v in train_split.items()}
-            batches["mask"] = mask
-            batches["sample_id"] = perm
-            batches["aux_mult"] = jnp.full((perm.shape[0],), mult)
-            if use_lr_sched:
-                # only thread the schedule when one is configured — the split
-                # optimizer (which rejects non-float scales) stays usable
-                batches["lr_scale"] = jnp.full((perm.shape[0],), lr_sc)
-            state, mets = jax.lax.scan(_step, state, batches)
+
+            # gather each minibatch INSIDE the step scan (like the refit path)
+            # rather than materializing the whole epoch's gathered copy as
+            # scan xs — at large member counts the (S, nb*B, ...) epoch copy
+            # dominates the per-epoch HBM footprint for zero compute benefit
+            def batch_step(state, bxs):
+                perm_b, mask_b = bxs
+                batch = {k: v[perm_b] for k, v in train_split.items()}
+                batch["mask"] = mask_b
+                batch["sample_id"] = perm_b
+                batch["aux_mult"] = mult
+                if use_lr_sched:
+                    # only thread the schedule when one is configured — the
+                    # split optimizer (which rejects non-float scales) stays
+                    # usable
+                    batch["lr_scale"] = lr_sc
+                return _step(state, batch)
+
+            state, mets = jax.lax.scan(batch_step, state, (perm, mask))
 
             eval_key, k1, _k2, _k3, _k4 = jax.random.split(eval_key, 5)
             if policy == "cvs":
