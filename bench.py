@@ -262,6 +262,7 @@ def bench_ensemble(S=16, epochs=20, n=810, batch=128, n_time=86):
     runner = make_ensemble_runner(
         spec, ts, config.learning_rate,
         init_params_fast(jax.random.key(0), spec), policy="challenge",
+        shared_data=True,  # every member trains on the same split, like sweep.py
     )
     members, perms_l = [], []
     for s in range(S):
@@ -271,7 +272,7 @@ def bench_ensemble(S=16, epochs=20, n=810, batch=128, n_time=86):
         perms_l.append(perms)
     states = stack_members(members)
     eval_keys = jnp.stack([jax.random.key(200 + s) for s in range(S)])
-    train_splits = stack_members([split] * S)
+    train_splits = {k: jnp.asarray(v) for k, v in split.items()}
     perms = jnp.asarray(np.stack(perms_l))
     mask_d = jnp.asarray(mask)
     aux = jnp.ones((S, epochs), np.float32) * 46.0

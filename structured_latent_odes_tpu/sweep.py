@@ -188,6 +188,23 @@ def train_ensemble(
     m0 = members[0]
     spec, times, policy = m0["spec"], m0["times"], m0["policy"]
     cfg = m0["config"]
+
+    def _trees_equal(trees):
+        t0 = trees[0]
+        return all(
+            all(np.array_equal(np.asarray(t0[k]), np.asarray(t[k])) for k in t0)
+            for t in trees[1:]
+        )
+
+    # seed sweeps vary only the TRAINING seed, so every member usually trains
+    # on the identical dataset — feed it to the runner ONCE (shared_data)
+    # instead of stacking S copies: the per-step minibatch gathers then read
+    # one cache-resident array, not an S× HBM footprint. Splits can differ
+    # per member (e.g. challenge folds without --data-seed), so detect.
+    shared_data = _trees_equal([m["splits"]["train"] for m in members]) and (
+        m0["val_stack"] is None
+        or _trees_equal([m["val_stack"] for m in members])
+    )
     runner = make_ensemble_runner(
         spec,
         times,
@@ -199,17 +216,26 @@ def train_ensemble(
         prior_lr_mult=float(cfg.get("prior_lr_mult") or 1.0),
         refit_epochs=int(cfg.get("prior_refit_epochs") or 0),
         use_lr_sched=m0["lr_sched"] is not None,
+        shared_data=shared_data,
     )
     states = stack_members(
         [runner.init_state(m["params"], m["k_train"]) for m in members]
     )
     eval_keys = jnp.stack([m["k_eval"] for m in members])
-    train_splits = stack_members([m["splits"]["train"] for m in members])
-    val_stacks = (
-        stack_members([m["val_stack"] for m in members])
-        if m0["val_stack"] is not None
-        else None
-    )
+    if shared_data:
+        train_splits = {k: jnp.asarray(v) for k, v in m0["splits"]["train"].items()}
+        val_stacks = (
+            {k: jnp.asarray(v) for k, v in m0["val_stack"].items()}
+            if m0["val_stack"] is not None
+            else None
+        )
+    else:
+        train_splits = stack_members([m["splits"]["train"] for m in members])
+        val_stacks = (
+            stack_members([m["val_stack"] for m in members])
+            if m0["val_stack"] is not None
+            else None
+        )
     perms = jnp.asarray(np.stack([m["perms"] for m in members]))
     for m in members[1:]:
         assert np.array_equal(m["mask"], m0["mask"]), "member batch layouts differ"
@@ -239,7 +265,7 @@ def train_ensemble(
         ) = shard_runner_inputs(
             mesh, states=states, eval_keys=eval_keys, train_splits=train_splits,
             val_stacks=val_stacks, perms=perms, mask=mask, aux_mult=aux_mult,
-            refit_perms=refit_perms, lr_sched=lr_sched,
+            refit_perms=refit_perms, lr_sched=lr_sched, shared_data=shared_data,
         )
         print(
             f"  ensemble sharded over {mesh.devices.size} devices "

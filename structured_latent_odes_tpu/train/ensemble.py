@@ -190,6 +190,7 @@ def make_ensemble_runner(
     prior_lr_mult: float = 1.0,
     refit_epochs: int = 0,
     use_lr_sched: bool = False,
+    shared_data: bool = False,
 ):
     """Build the fused multi-member runner.
 
@@ -203,6 +204,13 @@ def make_ensemble_runner(
     - val_stacks: dict of (S, nb_v, B_v, ...) stacked val minibatches
       (pass None for policies that never read the val split)
     - perms: (S, E, nb, B) int32, mask: (nb, B) f32, aux_mult: (S, E) f32
+
+    ``shared_data=True`` drops the member axis from ``train_splits`` /
+    ``val_stacks`` (pass ONE (N, ...) split / (nb_v, B_v, ...) val stack):
+    in a seed sweep every member trains on the same dataset, so stacking S
+    copies multiplies the gather-source HBM footprint by S for nothing —
+    shared, the per-step minibatch gathers all read one cache-resident
+    array. Numerically identical to the stacked layout (tested).
 
     ``refit_epochs > 0`` appends a PRIOR-REFIT phase (a capability recipe,
     not a reference behavior): starting from each member's selected best
@@ -342,16 +350,17 @@ def make_ensemble_runner(
         )
         return carry, hist
 
-    val_axis = 0 if needs_val else None
+    data_axis = None if shared_data else 0
+    val_axis = 0 if (needs_val and not shared_data) else None
     if refit_epochs:
         run = jax.jit(
-            jax.vmap(run_one, in_axes=(0, 0, 0, val_axis, 0, None, 0, 0, 0))
+            jax.vmap(run_one, in_axes=(0, 0, data_axis, val_axis, 0, None, 0, 0, 0))
         )
     else:
         run = jax.jit(
             jax.vmap(
                 lambda s, e, t, v, p, m, a, l: run_one(s, e, t, v, p, m, a, l),
-                in_axes=(0, 0, 0, val_axis, 0, None, 0, 0),
+                in_axes=(0, 0, data_axis, val_axis, 0, None, 0, 0),
             )
         )
 
@@ -360,7 +369,7 @@ def make_ensemble_runner(
     run_chunk_v = jax.jit(
         jax.vmap(
             chunk_one,
-            in_axes=(0, 0, 0, 0, 0, 0, val_axis, 0, None, 0, 0, None),
+            in_axes=(0, 0, 0, 0, 0, data_axis, val_axis, 0, None, 0, 0, None),
         )
     )
 
@@ -370,7 +379,7 @@ def make_ensemble_runner(
                 lambda bp, ek, split, rp, m: _prior_refit(
                     bp, jax.random.fold_in(ek, 77), split, rp, m
                 ),
-                in_axes=(0, 0, 0, 0, None),
+                in_axes=(0, 0, data_axis, 0, None),
             )
         )
     else:
@@ -560,7 +569,7 @@ def shard_member_inputs(mesh, member_trees, replicated_trees=()):
 
 def shard_runner_inputs(
     mesh, *, states, eval_keys, train_splits, val_stacks, perms, mask,
-    aux_mult, refit_perms=None, lr_sched=None,
+    aux_mult, refit_perms=None, lr_sched=None, shared_data=False,
 ):
     """``device_put`` the full ensemble-runner input set onto a 1-D
     ``('ens',)`` or 2-D ``('ens', 'data')`` mesh (:func:`member_mesh`).
@@ -604,11 +613,18 @@ def shard_runner_inputs(
         return jax.tree.map(one, tree)
 
     batch_tail = ("data",) if has_data and n_data > 1 else ()
+    # shared_data: the split/val stack carry NO member axis (see
+    # make_ensemble_runner) — replicate over 'ens', keep the val minibatch
+    # dim on 'data'
+    split_spec = P() if shared_data else P("ens")
+    val_spec = (
+        P(None, *batch_tail) if shared_data else P("ens", None, *batch_tail)
+    )
     return (
         put(states, P("ens")),
         put(eval_keys, P("ens")),
-        put(train_splits, P("ens")),
-        put(val_stacks, P("ens", None, *batch_tail)),
+        put(train_splits, split_spec),
+        put(val_stacks, val_spec),
         put(perms, P("ens", None, None, *batch_tail)),
         put(mask, P(None, *batch_tail)),
         put(aux_mult, P("ens")),

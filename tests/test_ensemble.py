@@ -26,6 +26,32 @@ from structured_latent_odes_tpu.utils import set_seed
 T = 16
 N_TRAIN, N_VAL, BS = 10, 6, 4
 
+# the suite is compile-bound on the CPU host: memoize the jitted runner /
+# train-step factories on their STRUCTURAL key so tests with the same model
+# structure share one compilation (correctness is unaffected — the key holds
+# everything that shapes the trace; per-test data flows in as arguments)
+_RUNNER_CACHE = {}
+_SEQ_CACHE = {}
+
+
+def _cached_runner(spec, lr, params_example, **kw):
+    key = (spec, lr, tuple(sorted(kw.items())))
+    if key not in _RUNNER_CACHE:
+        _RUNNER_CACHE[key] = make_ensemble_runner(
+            spec, jnp.arange(float(T)), lr, params_example, **kw
+        )
+    return _RUNNER_CACHE[key]
+
+
+def _cached_train_step(spec, lr, params):
+    key = (spec, lr)
+    if key not in _SEQ_CACHE:
+        _SEQ_CACHE[key] = (
+            make_train_step(spec, jnp.arange(float(T)), lr, params),
+            make_eval_fns(spec, jnp.arange(float(T))),
+        )
+    return _SEQ_CACHE[key]
+
 
 def _tiny_config(num_epochs, anneal=False, lrdecay=False):
     config = load_cvs_config()
@@ -63,9 +89,8 @@ def _sequential_run(config, splits, seed, policy):
     key = set_seed(seed)
     key, k_init, k_train, k_eval = jax.random.split(key, 4)
     params = init_params(k_init, spec)
-    ts = jnp.arange(float(T))
-    init_state, train_step, train_epoch = make_train_step(
-        spec, ts, config.learning_rate, params
+    (init_state, train_step, train_epoch), eval_fns = _cached_train_step(
+        spec, config.learning_rate, params
     )
     state = init_state(params, k_train)
 
@@ -86,7 +111,7 @@ def _sequential_run(config, splits, seed, policy):
         spec=spec,
         state=state,
         train_step=train_step,
-        eval_fns=make_eval_fns(spec, ts),
+        eval_fns=eval_fns,
         splits=splits,
         config=config,
         rng=np.random.RandomState(seed),
@@ -99,7 +124,7 @@ def _sequential_run(config, splits, seed, policy):
 
 
 def _ensemble_run(config, splits, seeds, policy, optimizer="shared",
-                  ensemble_parallel=0, ens_data=1):
+                  ensemble_parallel=0, ens_data=1, shared_data=False):
     from structured_latent_odes_tpu.train.ensemble import lr_scale_schedule
 
     spec = cvs_spec(config, n_time=T)
@@ -118,22 +143,37 @@ def _ensemble_run(config, splits, seeds, policy, optimizer="shared",
              "perms": perms, "mask": mask,
              "aux_mult": aux_mult_schedule(config, config.num_epochs)}
         )
-    runner = make_ensemble_runner(
-        spec, ts, config.learning_rate, members[0]["params"], policy=policy,
+    runner = _cached_runner(
+        spec, config.learning_rate, members[0]["params"], policy=policy,
         optimizer=optimizer, use_lr_sched=lr_sched is not None,
+        shared_data=shared_data,
     )
     states = stack_members(
         [runner.init_state(m["params"], m["k_train"]) for m in members]
     )
     eval_keys = jnp.stack([m["k_eval"] for m in members])
-    train_splits = stack_members([splits["train"]] * len(seeds))
-    val_stacks = (
-        stack_members(
-            [stacked_minibatches(splits["val"], BS, shuffle=False)] * len(seeds)
+    if shared_data:
+        train_splits = {k: jnp.asarray(v) for k, v in splits["train"].items()}
+        val_stacks = (
+            {
+                k: jnp.asarray(v)
+                for k, v in stacked_minibatches(
+                    splits["val"], BS, shuffle=False
+                ).items()
+            }
+            if policy in ("cvs", "proc")
+            else None
         )
-        if policy in ("cvs", "proc")
-        else None
-    )
+    else:
+        train_splits = stack_members([splits["train"]] * len(seeds))
+        val_stacks = (
+            stack_members(
+                [stacked_minibatches(splits["val"], BS, shuffle=False)]
+                * len(seeds)
+            )
+            if policy in ("cvs", "proc")
+            else None
+        )
     perms = jnp.asarray(np.stack([m["perms"] for m in members]))
     mask = jnp.asarray(members[0]["mask"])
     aux = jnp.asarray(np.stack([m["aux_mult"] for m in members]))
@@ -155,7 +195,7 @@ def _ensemble_run(config, splits, seeds, policy, optimizer="shared",
         ) = shard_runner_inputs(
             mesh, states=states, eval_keys=eval_keys,
             train_splits=train_splits, val_stacks=val_stacks, perms=perms,
-            mask=mask, aux_mult=aux, lr_sched=lrs,
+            mask=mask, aux_mult=aux, lr_sched=lrs, shared_data=shared_data,
         )
     return runner.run(
         states, eval_keys, train_splits, val_stacks, perms, mask, aux,
@@ -195,6 +235,54 @@ def test_ensemble_members_match_sequential_cvs(anneal, lrdecay):
     for i, seed in enumerate(seeds):
         state_seq, best_seq = _sequential_run(config, splits, seed, "cvs")
         _assert_member_matches(result, i, state_seq, best_seq)
+
+
+def test_shared_data_matches_stacked():
+    """shared_data=True (one train split / val stack, no member axis) is
+    bit-identical to the stacked-copies layout — same gathers, same order;
+    only the HBM footprint changes."""
+    config = _tiny_config(num_epochs=2)
+    splits = _synthetic_splits()
+    seeds = [3, 4]
+    r_stacked = _ensemble_run(config, splits, seeds, "cvs")
+    r_shared = _ensemble_run(config, splits, seeds, "cvs", shared_data=True)
+    np.testing.assert_array_equal(
+        np.asarray(r_stacked.best_crit), np.asarray(r_shared.best_crit)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_stacked.best_epoch), np.asarray(r_shared.best_epoch)
+    )
+    for a, b in zip(
+        jax.tree.leaves(r_stacked.best_params),
+        jax.tree.leaves(r_shared.best_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(r_stacked.state.params),
+        jax.tree.leaves(r_shared.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_shared_data_member_sharded_matches_unsharded():
+    """shared_data composes with the ('ens',) mesh: the split replicates,
+    members shard, results match the unsharded shared run exactly."""
+    config = _tiny_config(num_epochs=2)
+    splits = _synthetic_splits()
+    seeds = [3, 4]
+    r_unsharded = _ensemble_run(config, splits, seeds, "cvs", shared_data=True)
+    r_sharded = _ensemble_run(
+        config, splits, seeds, "cvs", shared_data=True, ensemble_parallel=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_unsharded.best_crit),
+        np.asarray(r_sharded.best_crit),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_unsharded.best_epoch), np.asarray(r_sharded.best_epoch)
+    )
 
 
 @pytest.mark.slow
@@ -334,8 +422,8 @@ def test_chunked_matches_single_dispatch(policy):
              "aux_mult": aux_mult_schedule(config, config.num_epochs)}
         )
     mask = build_epoch_perms(N_TRAIN, BS, 0, np.random.RandomState(0))[1]
-    runner = make_ensemble_runner(
-        spec, ts, config.learning_rate, members[0]["params"], policy=policy,
+    runner = _cached_runner(
+        spec, config.learning_rate, members[0]["params"], policy=policy,
     )
     states = stack_members(
         [runner.init_state(m["params"], m["k_train"]) for m in members]
@@ -421,8 +509,8 @@ def test_prior_refit_changes_only_priors():
     ts = jnp.arange(float(T))
 
     def build(refit):
-        runner = make_ensemble_runner(
-            spec, ts, config.learning_rate,
+        runner = _cached_runner(
+            spec, config.learning_rate,
             init_params(jax.random.key(0), spec), policy="cvs",
             refit_epochs=refit,
         )
