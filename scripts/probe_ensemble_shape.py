@@ -17,10 +17,9 @@ sys.path.insert(0, ".")
 import bench  # noqa: E402
 
 epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-GRID = [
-    (16, 128), (64, 128), (128, 128),   # the measured regression axis
-    (16, 512), (16, 1024), (32, 512),   # same totals, fewer members
-]
+# matched-total pairs: (64,128) vs (16,512) at 8192; (128,128) vs (16,1024)
+# at 16384 (kept small — each point is a fresh compile over the tunnel)
+GRID = [(64, 128), (16, 512), (128, 128), (16, 1024)]
 for S, B in GRID:
     n = max(810, 2 * B)  # at least 2 batches per epoch
     out = bench.bench_ensemble(S=S, epochs=epochs, n=n, batch=B)

@@ -26,6 +26,7 @@ from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from structured_latent_odes_tpu.models import (
@@ -235,6 +236,20 @@ def make_dual_step(spec: ModelSpec, ts, optim: DualOptimizer, num_particles: int
     return _step
 
 
+# Structural memo for make_train_step: repeated in-process builds with the
+# same (spec, ts, lr, ...) — resume flows, multi-run tests, notebooks — would
+# otherwise re-trace and re-compile identical programs (the dominant cost on
+# CPU hosts and over the axon tunnel). The returned closures are pure; the
+# only per-call input NOT in the key is params_example, which contributes
+# structure alone and is determined by spec.
+_TRAIN_STEP_MEMO: Dict = {}
+
+
+def _ts_key(ts):
+    a = np.asarray(ts)
+    return (a.shape, str(a.dtype), a.tobytes())
+
+
 def make_train_step(
     spec: ModelSpec,
     ts,
@@ -252,7 +267,17 @@ def make_train_step(
     that many reparameterized ELBO particles (Trace_ELBO(num_particles)
     semantics; the reference runs 1, config_cvs.py:47). ``optimizer``:
     'shared' (Pyro-parity single per-param Adam) | 'split' (round-1 behavior).
+
+    Memoized on the structural key — a second call with equal arguments
+    returns the SAME jitted closures (no re-trace/re-compile).
     """
+    memo_key = (
+        spec, _ts_key(ts), float(lr), int(num_particles), optimizer,
+        float(prior_lr_mult),
+    )
+    hit = _TRAIN_STEP_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     optim = make_dual_optimizer(
         spec, params_example, lr, optimizer, prior_lr_mult=prior_lr_mult
     )
@@ -282,7 +307,12 @@ def make_train_step(
         """
         return jax.lax.scan(_step, state, batches)
 
-    return init_state, train_step, train_epoch
+    out = (init_state, train_step, train_epoch)
+    _TRAIN_STEP_MEMO[memo_key] = out
+    return out
+
+
+_EVAL_EPOCH_MEMO: Dict = {}
 
 
 def make_eval_epoch(spec: ModelSpec, ts):
@@ -305,7 +335,13 @@ def make_eval_epoch(spec: ModelSpec, ts):
     (device-resident; the driver caches it once per split) and ``stats`` is a
     small dict of scalars: elbo_main, elbo_aux, l1_sum, n, and one summed
     statistic per label.
+
+    Memoized on (spec, ts) like :func:`make_train_step`.
     """
+    memo_key = (spec, _ts_key(ts))
+    hit = _EVAL_EPOCH_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     ts = jnp.asarray(ts)
 
     @functools.partial(jax.jit, static_argnames=("is_post",))
@@ -346,12 +382,21 @@ def make_eval_epoch(spec: ModelSpec, ts):
         _, ys = jax.lax.scan(one, None, batches)
         return jax.tree.map(jnp.sum, ys)
 
+    _EVAL_EPOCH_MEMO[memo_key] = eval_epoch
     return eval_epoch
+
+
+_EVAL_FNS_MEMO: Dict = {}
 
 
 def make_eval_fns(spec: ModelSpec, ts):
     """Jitted eval-only functions: per-loss ELBO evaluation (SVI.evaluate_loss),
-    classifier predictions, posterior/prior reconstruction."""
+    classifier predictions, posterior/prior reconstruction. Memoized on
+    (spec, ts) like :func:`make_train_step`."""
+    memo_key = (spec, _ts_key(ts))
+    hit = _EVAL_FNS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     ts = jnp.asarray(ts)
 
     @jax.jit
@@ -371,4 +416,6 @@ def make_eval_fns(spec: ModelSpec, ts):
     def reconstruct(params, key, batch, is_post: bool):
         return recon(spec, params, key, batch, ts, is_post)
 
-    return evaluate_losses, classify, reconstruct
+    out = (evaluate_losses, classify, reconstruct)
+    _EVAL_FNS_MEMO[memo_key] = out
+    return out

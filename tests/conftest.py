@@ -31,7 +31,22 @@ def pytest_configure(config):
     env["PALLAS_AXON_POOL_IPS"] = ""  # disable remote-TPU plugin registration
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_backend_optimization_level" not in flags:
+        # the suite is COMPILE-bound on this 1-core host (tiny shapes, many
+        # distinct jits); dialing back XLA:CPU optimization cuts compile time
+        # ~26% and every assertion compares like-vs-like within the process
+        flags = (flags + " --xla_backend_optimization_level=0").strip()
+    env["XLA_FLAGS"] = flags
+    if "JAX_COMPILATION_CACHE_DIR" not in env:
+        # persistent executable cache (~1.6 MB per heavy program): repeat
+        # suite runs skip XLA codegen entirely — a slow-tier ensemble test
+        # drops 40s -> 22s warm. Cold first runs are unaffected.
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_test_cache",
+        )
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     env["SLODE_TEST_REEXEC"] = "1"
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
