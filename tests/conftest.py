@@ -32,11 +32,12 @@ def pytest_configure(config):
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-    if "xla_backend_optimization_level" not in flags:
-        # the suite is COMPILE-bound on this 1-core host (tiny shapes, many
-        # distinct jits); dialing back XLA:CPU optimization cuts compile time
-        # ~26% and every assertion compares like-vs-like within the process
-        flags = (flags + " --xla_backend_optimization_level=0").strip()
+    # NOTE: do NOT add --xla_backend_optimization_level=0 here. It cut
+    # compile time ~26%, but XLA:CPU deterministically segfaults with it in
+    # long many-compile sessions (the slow tier died at the same test in two
+    # consecutive runs — once inside executable.serialize(), once inside
+    # backend_compile_and_load; both vanish without the flag). The
+    # persistent cache below is the supported compile-time lever.
     env["XLA_FLAGS"] = flags
     if "JAX_COMPILATION_CACHE_DIR" not in env:
         # persistent executable cache (~1.6 MB per heavy program): repeat
@@ -57,3 +58,48 @@ if not _NEEDS_REEXEC:
     import jax
 
     jax.config.update("jax_enable_x64", False)
+
+    # XLA:CPU's executable.serialize() abort()s on the BIG multi-(virtual-)
+    # device programs late in a long many-compile session (the slow tier died
+    # three times in put_executable_and_time on the 8-device epoch-scan /
+    # driver executables; the same entries serialize fine from a fresh
+    # process). Skip persistent-cache WRITES for multi-device executables —
+    # reads still hit entries seeded by shorter sessions, and the
+    # single-device programs (the bulk of the compile time) cache normally.
+    from jax._src import compilation_cache as _cc
+
+    _orig_put = _cc.put_executable_and_time
+
+    def _single_device_only_put(cache_key, module_name, executable, backend,
+                                compile_time):
+        try:
+            if len(executable.local_devices()) > 1:
+                return
+        except Exception:
+            return
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
+
+    _cc.put_executable_and_time = _single_device_only_put
+
+    # Long many-compile sessions exhaust the kernel's vm.max_map_count
+    # (65530 here): every live compiled executable holds JIT code pages and
+    # buffer mappings, and nothing frees them across 40+ heavy tests — the
+    # process was measured at ~2k new maps per test, segfaulting inside
+    # XLA:CPU compile/serialize right at the limit (~31 tests in). Dropping
+    # every executable after each test FILE bounds the live set; the
+    # persistent cache makes the cross-file recompiles cheap deserializes.
+    import gc
+
+    import pytest
+
+    @pytest.fixture(autouse=True, scope="module")
+    def _release_compiled_executables():
+        yield
+        from structured_latent_odes_tpu.train import svi as _svi
+
+        _svi._TRAIN_STEP_MEMO.clear()
+        _svi._EVAL_EPOCH_MEMO.clear()
+        _svi._EVAL_FNS_MEMO.clear()
+        jax.clear_caches()
+        gc.collect()
