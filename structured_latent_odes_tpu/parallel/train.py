@@ -23,6 +23,20 @@ from structured_latent_odes_tpu.parallel.mesh import replicated
 from structured_latent_odes_tpu.train.svi import SVIState, make_dual_optimizer, make_dual_step
 
 
+# Structural memo, mirroring train/svi.py's _TRAIN_STEP_MEMO: repeated
+# in-process builds over the same mesh (multi-test sessions, resume flows)
+# re-trace and re-compile identical sharded programs otherwise. Mesh objects
+# don't hash by content, so the key uses (axis layout, device ids).
+_DP_STEP_MEMO: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (
+        tuple(mesh.shape.items()),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def make_dp_train_step(
     spec: ModelSpec,
     ts,
@@ -44,7 +58,20 @@ def make_dp_train_step(
     as the single-device path (train.svi.make_dual_step) — shardings
     propagate from operand placement and GSPMD inserts the ICI all-reduce
     for the replicated-param gradients.
+
+    Memoized on the structural key (incl. the mesh's axis layout + device
+    ids) — a second call with equal arguments returns the SAME jitted
+    closures (no re-trace/re-compile), as make_train_step does.
     """
+    from structured_latent_odes_tpu.train.svi import _ts_key
+
+    memo_key = (
+        spec, _ts_key(ts), float(lr), _mesh_key(mesh), int(num_particles),
+        optimizer, float(prior_lr_mult),
+    )
+    hit = _DP_STEP_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     optim = make_dual_optimizer(
         spec, params_example, lr, optimizer, prior_lr_mult=prior_lr_mult
     )
@@ -65,7 +92,9 @@ def make_dp_train_step(
     def train_epoch(state: SVIState, batches):
         return jax.lax.scan(_step, state, batches)
 
-    return init_state, jax.jit(_step), train_epoch
+    out = (init_state, jax.jit(_step), train_epoch)
+    _DP_STEP_MEMO[memo_key] = out
+    return out
 
 
 def make_dp_eval_step(spec: ModelSpec, ts, mesh: Mesh):

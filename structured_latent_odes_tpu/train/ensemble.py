@@ -178,6 +178,13 @@ def prior_refit(spec: ModelSpec, ts, lr: float, best_params, key, train_split,
     )
 
 
+# Structural memo, mirroring train/svi.py's _TRAIN_STEP_MEMO: a second
+# in-process build with equal arguments (sweep resumes, paired
+# stacked-vs-shared / sharded-vs-unsharded test runs) returns the SAME
+# jitted runner, so identical call shapes reuse the compiled program.
+_RUNNER_MEMO: Dict = {}
+
+
 def make_ensemble_runner(
     spec: ModelSpec,
     ts,
@@ -228,6 +235,16 @@ def make_ensemble_runner(
         raise ValueError(
             "lr schedules (lr_final/lr_decay_start) require optimizer='shared'"
         )
+    from structured_latent_odes_tpu.train.svi import _ts_key
+
+    memo_key = (
+        spec, _ts_key(ts), float(lr), policy, int(num_particles), optimizer,
+        float(prior_lr_mult), int(refit_epochs), bool(use_lr_sched),
+        bool(shared_data),
+    )
+    hit = _RUNNER_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     ts = jnp.asarray(ts)
     optim = make_dual_optimizer(
         spec, params_example, lr, optimizer, prior_lr_mult=prior_lr_mult
@@ -439,7 +456,9 @@ def make_ensemble_runner(
     def init_state(params, key) -> SVIState:
         return SVIState(params, optim.init(params), key)
 
-    return EnsembleRunner(init_state, run_wrapped, run_chunk_wrapped, refit_v)
+    out = EnsembleRunner(init_state, run_wrapped, run_chunk_wrapped, refit_v)
+    _RUNNER_MEMO[memo_key] = out
+    return out
 
 
 def run_chunked(

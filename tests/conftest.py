@@ -40,14 +40,30 @@ def pytest_configure(config):
     # persistent cache below is the supported compile-time lever.
     env["XLA_FLAGS"] = flags
     if "JAX_COMPILATION_CACHE_DIR" not in env:
-        # persistent executable cache (~1.6 MB per heavy program): repeat
-        # suite runs skip XLA codegen entirely — a slow-tier ensemble test
-        # drops 40s -> 22s warm. Cold first runs are unaffected.
+        # Persistent executable cache: repeat suite runs skip XLA codegen
+        # entirely (a 10.6s mesh-step compile drops to 0.3s warm). The dir is
+        # keyed by this host's CPU feature set: XLA:CPU AOT executables are
+        # machine-specific, and loading entries written on a different host
+        # logs "could lead to execution errors such as SIGILL" and misses
+        # anyway (observed round 4 — a cache carried across driver hosts made
+        # the whole slow tier recompile cold every run while risking crashes).
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(
+                    (ln for ln in f if ln.startswith("flags")), ""
+                )
+            host_key = hashlib.sha256(flags.encode()).hexdigest()[:12]
+        except OSError:
+            host_key = "nohost"
         env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_test_cache",
+            f".jax_test_cache_{host_key}",
         )
-        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+        # cache every program, not just >=1s compiles: init/eval paths are
+        # many sub-second compiles that add up across 44 slow tests
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
     env["SLODE_TEST_REEXEC"] = "1"
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
@@ -59,28 +75,14 @@ if not _NEEDS_REEXEC:
 
     jax.config.update("jax_enable_x64", False)
 
-    # XLA:CPU's executable.serialize() abort()s on the BIG multi-(virtual-)
-    # device programs late in a long many-compile session (the slow tier died
-    # three times in put_executable_and_time on the 8-device epoch-scan /
-    # driver executables; the same entries serialize fine from a fresh
-    # process). Skip persistent-cache WRITES for multi-device executables —
-    # reads still hit entries seeded by shorter sessions, and the
-    # single-device programs (the bulk of the compile time) cache normally.
-    from jax._src import compilation_cache as _cc
-
-    _orig_put = _cc.put_executable_and_time
-
-    def _single_device_only_put(cache_key, module_name, executable, backend,
-                                compile_time):
-        try:
-            if len(executable.local_devices()) > 1:
-                return
-        except Exception:
-            return
-        return _orig_put(cache_key, module_name, executable, backend,
-                         compile_time)
-
-    _cc.put_executable_and_time = _single_device_only_put
+    # NOTE (round 4): multi-device persistent-cache WRITES are re-enabled.
+    # Round 3 skipped them because executable.serialize() abort()ed on the
+    # big 8-device programs late in long sessions — that abort is now
+    # attributed to vm.max_map_count exhaustion (fixed by the per-module
+    # executable release below), and the mesh tests are the tier's dominant
+    # compile cost, so caching them is the single biggest warm-run win.
+    # If the abort ever recurs, restore the put_executable_and_time filter
+    # from git history (ee2c923^..) rather than disabling the cache.
 
     # Long many-compile sessions exhaust the kernel's vm.max_map_count
     # (65530 here): every live compiled executable holds JIT code pages and
@@ -96,10 +98,14 @@ if not _NEEDS_REEXEC:
     @pytest.fixture(autouse=True, scope="module")
     def _release_compiled_executables():
         yield
+        from structured_latent_odes_tpu.parallel import train as _ptrain
+        from structured_latent_odes_tpu.train import ensemble as _ens
         from structured_latent_odes_tpu.train import svi as _svi
 
         _svi._TRAIN_STEP_MEMO.clear()
         _svi._EVAL_EPOCH_MEMO.clear()
         _svi._EVAL_FNS_MEMO.clear()
+        _ptrain._DP_STEP_MEMO.clear()
+        _ens._RUNNER_MEMO.clear()
         jax.clear_caches()
         gc.collect()
