@@ -429,7 +429,11 @@ def selection_prior_l1(member: Dict, best_params, reconstruct) -> float:
     return tot / max(n_tot, 1.0)
 
 
-def select_member(members: List[Dict], min_best_epoch: int = 0) -> Dict:
+def select_member(
+    members: List[Dict],
+    min_best_epoch: int = 0,
+    prior_veto_margin: float = 0.05,
+) -> Dict:
     """Pick ONE member of a trained ensemble — the deployable answer to seed
     variance: train S seeds in one dispatch (~1 sequential run's wall-clock),
     keep the member the training-time selection signals prefer.  Uses only
@@ -444,10 +448,27 @@ def select_member(members: List[Dict], min_best_epoch: int = 0) -> Dict:
       (:func:`selection_prior_l1`), which catches members whose conditional
       prior lags a good posterior (the round-3 blind proc miss).
 
-    When every member carries ``sel_prior_l1`` the two signals are
-    **rank-combined**: members are ranked by each signal independently and
+    When every member carries ``sel_prior_l1`` the two signals combine as a
+    **prior veto followed by a rank-combine**: members whose ``sel_prior_l1``
+    exceeds the pool best by more than ``prior_veto_margin`` (relative) are
+    excluded, then the survivors are ranked by each signal independently and
     the smallest rank-sum wins (criterion breaks rank ties).  Sweeps recorded
     before the prior signal existed fall back to the criterion argmin.
+
+    The veto exists because pure rank addition is gameable by criterion
+    dominance: in ``runs_evidence/r4/chal_priorlr5_confirm.sweep.json`` the
+    criterion argmin (seed 77, sel_prior_l1 9.1% above pool best, test prior
+    L1 47.02 vs the 38.969 anchor) out-rank-summed four members whose
+    sel_prior_l1 clustered within 1e-4 of the best (their prior ranks 0-3
+    cost them 4-7 criterion rank points each; all four sat at test prior
+    37.2-37.4).  A relative margin keeps the rank-combine's tie-breaking
+    power among genuinely-good-prior members while refusing to let a strong
+    criterion buy back a clearly lagging conditional prior.  The 5% default
+    was tuned on the 11 archived sweeps carrying ``sel_prior_l1``
+    (runs_evidence/r4/*): it preserves every blind queue-32 pick, fixes the
+    chal_priorlr5_confirm failure (picks seed 81: 37.27 prior), and improves
+    proc_blind2 (11.41 vs 15.99) and gauss_chal_fresh_c (34.82 vs 39.20)
+    retroactively; blind validation on fresh seeds is queue 35.
 
     ``min_best_epoch`` is the *converged-epoch guard*: with aux warm-up +
     late lr decay, a member whose criterion peaked mid-transient snapshots an
@@ -460,7 +481,16 @@ def select_member(members: List[Dict], min_best_epoch: int = 0) -> Dict:
     eligible = [m for m in members if m["best_epoch"] >= min_best_epoch]
     fallback = bool(min_best_epoch > 0 and not eligible)
     pool = eligible or members
+    n_vetoed = 0
     if len(pool) > 1 and all(m.get("sel_prior_l1") is not None for m in pool):
+        best_sp = min(m["sel_prior_l1"] for m in pool)
+        survivors = [
+            m
+            for m in pool
+            if m["sel_prior_l1"] <= best_sp * (1.0 + prior_veto_margin)
+        ]
+        n_vetoed = len(pool) - len(survivors)
+        pool = survivors  # never empty: the best_sp member always survives
         by_crit = sorted(range(len(pool)), key=lambda i: pool[i]["criterion"])
         by_prior = sorted(range(len(pool)), key=lambda i: pool[i]["sel_prior_l1"])
         rank = [0] * len(pool)
@@ -474,6 +504,8 @@ def select_member(members: List[Dict], min_best_epoch: int = 0) -> Dict:
         picked = min(pool, key=lambda m: m["criterion"])
     picked = dict(picked)
     picked["guard_fallback"] = fallback
+    picked["prior_veto_margin"] = prior_veto_margin
+    picked["n_prior_vetoed"] = n_vetoed
     return picked
 
 
@@ -543,6 +575,11 @@ def parse_args(argv=None):
                    help="additionally shard each member's minibatch over "
                         "this many devices (('ens','data') 2-D mesh; total "
                         "devices = ensemble_parallel x this)")
+    p.add_argument("--prior-veto-margin", type=float, default=0.05,
+                   help="selection veto: exclude members whose selection-"
+                        "split prior L1 exceeds the pool best by this "
+                        "relative margin before rank-combining (default "
+                        "0.05, tuned on runs_evidence/r4)")
     return p.parse_args(argv)
 
 
@@ -639,7 +676,11 @@ def main(argv=None):
         if config.get("lr_final") is not None
         else 0
     )
-    picked = select_member(summary, min_best_epoch=guard)
+    picked = select_member(
+        summary,
+        min_best_epoch=guard,
+        prior_veto_margin=args.prior_veto_margin,
+    )
     if picked["guard_fallback"]:
         print(
             f"WARNING: no member reached best_epoch>={guard}; selection fell "
