@@ -4,7 +4,7 @@
 # PAIRED design on one fresh octade (76..83, never used anywhere): mult=5 vs
 # the headline mult=1 recipe on the SAME seeds, so the comparison is
 # per-seed-matched rather than cross-octade (challenge seed spread is ±5 L1).
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 OUT=runs/r4
 mkdir -p $OUT
@@ -23,7 +23,10 @@ sweep chal_priorlr5_confirm --prior-lr-mult 5
 sweep chal_priorlr1_control
 
 for n in chal_priorlr5_confirm chal_priorlr1_control; do
-  [ -e "runs/r4/$n/sweep.json" ] && mkdir -p runs_evidence/r4 \
-    && cp "runs/r4/$n/sweep.json" "runs_evidence/r4/$n.sweep.json"
+  if [ ! -e "runs/r4/$n/sweep.json" ]; then
+    echo "FATAL: runs/r4/$n/sweep.json missing" >&2; exit 1
+  fi
+  mkdir -p runs_evidence/r4
+  cp "runs/r4/$n/sweep.json" "runs_evidence/r4/$n.sweep.json"
 done
 echo "R4 QUEUE3 DONE $(date +%H:%M)"

@@ -80,10 +80,14 @@ for S in (8, 16, 32, 64, 128):
     flops = float(ca.get("flops", 0.0))
     bytes_acc = float(ca.get("bytes accessed", 0.0))
 
-    res = fn(states, eval_keys, perms)
-    jax.block_until_ready(res.best_crit)  # compile+warm
+    # Execute the AOT-compiled object itself: the analyzed and timed
+    # programs are then the same executable, and the epoch scans compile
+    # exactly once (fn(...) would trace+compile a second executable since
+    # lower().compile() does not populate the jit cache — ADVICE r4).
+    res = compiled(states, eval_keys, perms)
+    jax.block_until_ready(res.best_crit)  # warm
     t0 = time.perf_counter()
-    res = fn(states, eval_keys, perms)
+    res = compiled(states, eval_keys, perms)
     jax.block_until_ready(res.best_crit)
     dt = time.perf_counter() - t0
 

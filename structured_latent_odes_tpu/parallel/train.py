@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 from structured_latent_odes_tpu.models import elbo_aux, elbo_main
 from structured_latent_odes_tpu.models.spec import ModelSpec
 from structured_latent_odes_tpu.parallel.mesh import replicated
+from structured_latent_odes_tpu.utils.memo import BoundedMemo
 from structured_latent_odes_tpu.train.svi import SVIState, make_dual_optimizer, make_dual_step
 
 
@@ -27,7 +28,7 @@ from structured_latent_odes_tpu.train.svi import SVIState, make_dual_optimizer, 
 # in-process builds over the same mesh (multi-test sessions, resume flows)
 # re-trace and re-compile identical sharded programs otherwise. Mesh objects
 # don't hash by content, so the key uses (axis layout, device ids).
-_DP_STEP_MEMO: dict = {}
+_DP_STEP_MEMO = BoundedMemo()
 
 
 def _mesh_key(mesh: Mesh):

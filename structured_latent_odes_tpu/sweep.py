@@ -575,6 +575,11 @@ def parse_args(argv=None):
                    help="additionally shard each member's minibatch over "
                         "this many devices (('ens','data') 2-D mesh; total "
                         "devices = ensemble_parallel x this)")
+    p.add_argument("--evidence-dir", default=None,
+                   help="also write sweep.json to this dir as "
+                        "<results-root-basename>.sweep.json the moment the "
+                        "sweep completes (transactional evidence for queue "
+                        "scripts; see runs_evidence/README.md)")
     p.add_argument("--prior-veto-margin", type=float, default=0.05,
                    help="selection veto: exclude members whose selection-"
                         "split prior L1 exceeds the pool best by this "
@@ -697,6 +702,15 @@ def main(argv=None):
     }
     with open(os.path.join(args.results_root, "sweep.json"), "w") as f:
         json.dump(out, f, indent=1)
+    if args.evidence_dir:
+        # Transactional evidence copy (VERDICT r4 ask #6): the committed
+        # record lands the moment THIS sweep finishes, not at the end of a
+        # multi-sweep queue script — a queue that dies mid-run still leaves
+        # every completed sweep's evidence in place.
+        os.makedirs(args.evidence_dir, exist_ok=True)
+        name = os.path.basename(os.path.normpath(args.results_root))
+        with open(os.path.join(args.evidence_dir, f"{name}.sweep.json"), "w") as f:
+            json.dump(out, f, indent=1)
     posts = [r["l1_post"] for r in summary]
     priors = [r["l1_prior"] for r in summary]
     print(

@@ -40,6 +40,7 @@ import numpy as np
 
 from structured_latent_odes_tpu.models import elbo_aux, elbo_main
 from structured_latent_odes_tpu.models.spec import ModelSpec
+from structured_latent_odes_tpu.utils.memo import BoundedMemo
 from structured_latent_odes_tpu.train.svi import (
     SVIState,
     make_dual_optimizer,
@@ -182,7 +183,7 @@ def prior_refit(spec: ModelSpec, ts, lr: float, best_params, key, train_split,
 # in-process build with equal arguments (sweep resumes, paired
 # stacked-vs-shared / sharded-vs-unsharded test runs) returns the SAME
 # jitted runner, so identical call shapes reuse the compiled program.
-_RUNNER_MEMO: Dict = {}
+_RUNNER_MEMO = BoundedMemo()
 
 
 def make_ensemble_runner(

@@ -37,6 +37,7 @@ from structured_latent_odes_tpu.models import (
     recon,
 )
 from structured_latent_odes_tpu.models.spec import ModelSpec
+from structured_latent_odes_tpu.utils.memo import BoundedMemo
 
 Array = jax.Array
 
@@ -242,7 +243,7 @@ def make_dual_step(spec: ModelSpec, ts, optim: DualOptimizer, num_particles: int
 # CPU hosts and over the axon tunnel). The returned closures are pure; the
 # only per-call input NOT in the key is params_example, which contributes
 # structure alone and is determined by spec.
-_TRAIN_STEP_MEMO: Dict = {}
+_TRAIN_STEP_MEMO = BoundedMemo()
 
 
 def _ts_key(ts):
@@ -312,7 +313,7 @@ def make_train_step(
     return out
 
 
-_EVAL_EPOCH_MEMO: Dict = {}
+_EVAL_EPOCH_MEMO = BoundedMemo()
 
 
 def make_eval_epoch(spec: ModelSpec, ts):
@@ -386,7 +387,7 @@ def make_eval_epoch(spec: ModelSpec, ts):
     return eval_epoch
 
 
-_EVAL_FNS_MEMO: Dict = {}
+_EVAL_FNS_MEMO = BoundedMemo()
 
 
 def make_eval_fns(spec: ModelSpec, ts):

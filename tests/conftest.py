@@ -51,10 +51,10 @@ def pytest_configure(config):
 
         try:
             with open("/proc/cpuinfo") as f:
-                flags = next(
+                cpu_flags = next(
                     (ln for ln in f if ln.startswith("flags")), ""
                 )
-            host_key = hashlib.sha256(flags.encode()).hexdigest()[:12]
+            host_key = hashlib.sha256(cpu_flags.encode()).hexdigest()[:12]
         except OSError:
             host_key = "nohost"
         env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(

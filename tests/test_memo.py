@@ -63,6 +63,37 @@ def test_ensemble_runner_memo_identity(spec_params):
         assert other.run is not a.run, f"{kw} must not hit the memo"
 
 
+def test_memo_bounded_lru_eviction(spec_params):
+    """The builder memos are bounded LRUs: walking a knob grid larger than
+    the capacity evicts oldest-used entries (freeing their compiled
+    executables) instead of growing for process lifetime (ADVICE r4; the
+    vm.max_map_count exhaustion history in conftest.py / commit ee2c923).
+    Recently-used entries survive, so the hot path still hits.
+    """
+    from structured_latent_odes_tpu.train.svi import _TRAIN_STEP_MEMO
+    from structured_latent_odes_tpu.utils.memo import BoundedMemo
+
+    spec, params = spec_params
+    ts = jnp.arange(float(T))
+    _TRAIN_STEP_MEMO.clear()
+    cap = _TRAIN_STEP_MEMO.maxsize
+    a = make_train_step(spec, ts, 1e-3, params)
+    for i in range(cap):  # cap distinct recipes, touching the first each time
+        make_train_step(spec, ts, 1e-3 + 1e-6 * (i + 1), params)
+        make_train_step(spec, ts, 1e-3, params)
+    assert len(_TRAIN_STEP_MEMO) == cap
+    assert make_train_step(spec, ts, 1e-3, params)[1] is a[1]  # kept (LRU)
+    # the least-recently-used grid point was evicted -> fresh objects
+    b = make_train_step(spec, ts, 1e-3 + 1e-6, params)
+    assert len(_TRAIN_STEP_MEMO) == cap
+
+    m = BoundedMemo(maxsize=2)
+    m["a"], m["b"] = 1, 2
+    assert m.get("a") == 1  # touch 'a' so 'b' is LRU
+    m["c"] = 3
+    assert "b" not in m and m.get("a") == 1 and m.get("c") == 3
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dp_step_memo_keys_on_mesh(spec_params):
     from structured_latent_odes_tpu.parallel.mesh import make_mesh
