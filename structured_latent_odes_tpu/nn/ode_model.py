@@ -40,7 +40,9 @@ class OdeModelSpec:
     ode_hidden_dim: int
     solver: str = "midpoint"
     # 'semilinear' (parallel affine scan, default), 'semilinear_seq',
-    # 'semilinear_pallas', 'semilinear_auto' (shape-based assoc/pallas
+    # 'semilinear_pallas', 'semilinear_fused' (whole-solve Pallas kernel:
+    # stage evals + affine extraction + scan fused, ops/fused_step.py),
+    # 'semilinear_auto' (shape-based assoc/pallas
     # dispatch at trace time), 'semilinear_timepar' (sequence-parallel over
     # the mesh's time axis — requires parallel.timepar.time_sharding context),
     # 'generic' (sequential RK on the full RHS),
@@ -145,6 +147,12 @@ def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
             time_axis=ctx.time_axis,
             batch_axis=ctx.batch_axis,
         )
+    if spec.backend == "semilinear_fused":
+        # whole-solve Pallas kernel: stage evals + affine extraction + scan
+        # in ONE program, zero HBM intermediates (ops/fused_step.py)
+        from structured_latent_odes_tpu.ops.fused_step import fused_semilinear_solve
+
+        return fused_semilinear_solve(params, z, x0, ts, method=spec.solver)
     if spec.backend.startswith("semilinear"):
         backend = {
             "semilinear": "assoc",
