@@ -229,7 +229,8 @@ def bench_scale():
     return out
 
 
-def bench_ensemble(S=16, epochs=20, n=810, batch=128, n_time=86):
+def bench_ensemble(S=16, epochs=20, n=810, batch=128, n_time=86,
+                   ode_backend=None):
     """S full CVS training runs in one jit (train/ensemble.py): aggregate
     dual-SVI member-steps/sec. The reference trains one model per process;
     this is the capability that turns the chip's idle 99.8% into experiment
@@ -251,6 +252,8 @@ def bench_ensemble(S=16, epochs=20, n=810, batch=128, n_time=86):
     config = load_cvs_config()
     config.seq_len = n_time
     config.mini_batch_size = batch
+    if ode_backend is not None:
+        config.ode_backend = ode_backend
     spec = cvs_spec(config, n_time=n_time)
     r = np.random.RandomState(0)
     split = {

@@ -5,7 +5,7 @@ How far does one v5e chip stretch on concurrent full training runs
 one JSON line per S (member-steps/sec, implied aggregate MFU using the
 XLA-counted per-step FLOPs from bench.py's main row).
 
-Usage: python scripts/measure_ensemble_scaling.py [S ...]
+Usage: python scripts/measure_ensemble_scaling.py [--backend NAME] [S ...]
 """
 
 import json
@@ -17,10 +17,15 @@ import bench  # noqa: E402
 FLOPS_PER_STEP = 142347968.0  # XLA-counted, bench.py cvs_elbo main row
 V5E_BF16_PEAK = 197e12  # same constant bench.py's mfu rows use
 
-sizes = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64, 128]
+args = sys.argv[1:]
+backend = None
+if args and args[0] == "--backend":
+    backend = args[1]
+    args = args[2:]
+sizes = [int(a) for a in args] or [8, 16, 32, 64, 128]
 rows = []
 for S in sizes:
-    out = bench.bench_ensemble(S=S)
+    out = bench.bench_ensemble(S=S, ode_backend=backend)
     msps = out["ensemble_member_steps_per_sec"]
     row = {
         "S": S,

@@ -217,6 +217,8 @@ def train_ensemble(
         refit_epochs=int(cfg.get("prior_refit_epochs") or 0),
         use_lr_sched=m0["lr_sched"] is not None,
         shared_data=shared_data,
+        tail_ema_decay=float(cfg.get("tail_ema") or 0.0),
+        tail_ema_start=int(cfg.get("tail_ema_start") or 0),
     )
     states = stack_members(
         [runner.init_state(m["params"], m["k_train"]) for m in members]
@@ -575,6 +577,14 @@ def parse_args(argv=None):
                    help="additionally shard each member's minibatch over "
                         "this many devices (('ens','data') 2-D mesh; total "
                         "devices = ensemble_parallel x this)")
+    p.add_argument("--tail-ema", type=float, default=None,
+                   help="track a tail-phase EMA of params with this decay "
+                        "(e.g. 0.99); each member's EMA weights get their "
+                        "own test eval recorded under members[i]['ema'] "
+                        "(mechanism experiment, selection unchanged)")
+    p.add_argument("--tail-ema-start", type=int, default=None,
+                   help="epoch the EMA starts decaying (default: "
+                        "lr_decay_start if set, else 0)")
     p.add_argument("--evidence-dir", default=None,
                    help="also write sweep.json to this dir as "
                         "<results-root-basename>.sweep.json the moment the "
@@ -623,6 +633,12 @@ def main(argv=None):
     config.data_seed = args.data_seed
     config.lr_final = args.lr_final
     config.lr_decay_start = args.lr_decay_start
+    config.tail_ema = args.tail_ema
+    config.tail_ema_start = (
+        args.tail_ema_start
+        if args.tail_ema_start is not None
+        else (args.lr_decay_start or 0)
+    )
 
     seeds = parse_seeds(args.seeds)
     # member axis is vmapped, invisible to traced shapes — let the
@@ -665,6 +681,22 @@ def main(argv=None):
         )
         row["criterion"] = float(best_crits[i])
         row["sel_prior_l1"] = selection_prior_l1(m, bp, shared_eval_fns[2])
+        if result.ema_params is not None:
+            # the tail-EMA weights get the same full finalization into a
+            # sibling artifact dir — a per-seed paired comparison of EMA vs
+            # best-snapshot on identical data/eval keying
+            ep = jax.tree.map(lambda x: np.asarray(x[i]), result.ema_params)
+            erow = finalize_member(
+                args.dataset, m, ep, best_epochs[i],
+                os.path.join(args.results_root, f"seed{m['seed']}", "ema"),
+                eval_fns=shared_eval_fns,
+            )
+            row["ema"] = {
+                "l1_post": erow["l1_post"],
+                "l1_prior": erow["l1_prior"],
+                "label_metrics_post": erow["label_metrics_post"],
+                "sel_prior_l1": selection_prior_l1(m, ep, shared_eval_fns[2]),
+            }
         summary.append(row)
         print(
             f"seed {m['seed']}: post {row['l1_post']:.4f}  prior "

@@ -59,6 +59,7 @@ class EnsembleRunner(NamedTuple):
     run: Any         # the jitted vmapped full-run function (see make_ensemble_runner)
     run_chunk: Any   # (carry, splits, val, perms, mask, aux, lr, epochs) -> (carry, hist)
     refit: Any       # vmapped standalone prior-refit (None when refit_epochs == 0)
+    tail_ema: bool = False  # whether the epoch carry tracks a tail-phase EMA
 
 
 class EnsembleResult(NamedTuple):
@@ -67,6 +68,7 @@ class EnsembleResult(NamedTuple):
     best_crit: Array  # (S,)
     best_epoch: Array  # (S,) int32
     history: Dict[str, Array]  # per-epoch per-batch train losses (S, E, nb)
+    ema_params: Any = None  # tail-phase EMA pytree (None unless tail_ema_decay>0)
 
 
 def build_epoch_perms(
@@ -199,6 +201,8 @@ def make_ensemble_runner(
     refit_epochs: int = 0,
     use_lr_sched: bool = False,
     shared_data: bool = False,
+    tail_ema_decay: float = 0.0,
+    tail_ema_start: int = 0,
 ):
     """Build the fused multi-member runner.
 
@@ -219,6 +223,18 @@ def make_ensemble_runner(
     copies multiplies the gather-source HBM footprint by S for nothing —
     shared, the per-step minibatch gathers all read one cache-resident
     array. Numerically identical to the stacked layout (tested).
+
+    ``tail_ema_decay > 0`` additionally tracks a TAIL-PHASE EMA of each
+    member's params: from epoch ``tail_ema_start`` on, after every epoch,
+    ``ema <- decay*ema + (1-decay)*params`` (before that the EMA simply
+    tracks params, so activation starts from the current weights). A
+    candidate mechanism against CVS per-seed fragility (VERDICT r4 ask #5):
+    averaging the decayed tail of the trajectory suppresses the late-phase
+    oscillation that makes single snapshots miss the anchors. Costs one
+    extra params copy per member and one tree-map per epoch inside the same
+    scan; the result carries ``ema_params`` alongside ``best_params`` and
+    selection semantics are unchanged (the EMA is recorded for evaluation,
+    not silently deployed).
 
     ``refit_epochs > 0`` appends a PRIOR-REFIT phase (a capability recipe,
     not a reference behavior): starting from each member's selected best
@@ -241,8 +257,9 @@ def make_ensemble_runner(
     memo_key = (
         spec, _ts_key(ts), float(lr), policy, int(num_particles), optimizer,
         float(prior_lr_mult), int(refit_epochs), bool(use_lr_sched),
-        bool(shared_data),
+        bool(shared_data), float(tail_ema_decay), int(tail_ema_start),
     )
+    use_ema = tail_ema_decay > 0.0
     hit = _RUNNER_MEMO.get(memo_key)
     if hit is not None:
         return hit
@@ -274,7 +291,7 @@ def make_ensemble_runner(
 
     def scan_span(
         state: SVIState, eval_key, best_p, best_c, best_e, train_split,
-        val_stack, perms, mask, aux_mult, lr_sched, epochs,
+        val_stack, perms, mask, aux_mult, lr_sched, epochs, ema_p=None,
     ):
         """Scan ``epoch_body`` over an arbitrary span of epochs.
 
@@ -285,7 +302,11 @@ def make_ensemble_runner(
         """
 
         def epoch_body(carry, xs):
-            state, eval_key, best_p, best_c, best_e = carry
+            if use_ema:
+                state, eval_key, best_p, best_c, best_e, ema = carry
+            else:
+                state, eval_key, best_p, best_c, best_e = carry
+                ema = None
             perm, mult, lr_sc, epoch = xs
 
             # gather each minibatch INSIDE the step scan (like the refit path)
@@ -332,12 +353,26 @@ def make_ensemble_runner(
             )
             best_c = jnp.where(improve, crit, best_c)
             best_e = jnp.where(improve, rec_epoch, best_e).astype(jnp.int32)
-            return (state, eval_key, best_p, best_c, best_e), {
+            hist_out = {
                 "loss_main": mets["loss_main"],
                 "loss_aux": mets["loss_aux"],
             }
+            if use_ema:
+                active = epoch >= tail_ema_start
+                d = jnp.float32(tail_ema_decay)
+                ema = jax.tree.map(
+                    lambda e, p: jnp.where(active, d * e + (1.0 - d) * p, p),
+                    ema, state.params,
+                )
+                return (state, eval_key, best_p, best_c, best_e, ema), hist_out
+            return (state, eval_key, best_p, best_c, best_e), hist_out
 
         carry0 = (state, eval_key, best_p, best_c, best_e)
+        if use_ema:
+            carry0 = carry0 + (
+                ema_p if ema_p is not None
+                else jax.tree.map(jnp.asarray, state.params),
+            )
         return jax.lax.scan(epoch_body, carry0, (perms, aux_mult, lr_sched, epochs))
 
     def run_one(
@@ -345,26 +380,30 @@ def make_ensemble_runner(
         aux_mult, lr_sched, refit_perms=None,
     ):
         E = perms.shape[0]
-        (state, eval_key_f, bp, bc, be), hist = scan_span(
+        carry_f, hist = scan_span(
             state, eval_key,
             jax.tree.map(jnp.asarray, state.params),
             jnp.asarray(jnp.inf), jnp.asarray(0, jnp.int32),
             train_split, val_stack, perms, mask, aux_mult, lr_sched,
             jnp.arange(E, dtype=jnp.int32),
         )
+        if use_ema:
+            state, eval_key_f, bp, bc, be, ema = carry_f
+        else:
+            (state, eval_key_f, bp, bc, be), ema = carry_f, None
         if refit_epochs:
             bp = _prior_refit(
                 bp, jax.random.fold_in(eval_key_f, 77), train_split, refit_perms, mask
             )
-        return EnsembleResult(state, bp, bc, be, hist)
+        return EnsembleResult(state, bp, bc, be, hist, ema)
 
     def chunk_one(
         state, eval_key, best_p, best_c, best_e, train_split, val_stack,
-        perms, mask, aux_mult, lr_sched, epochs,
+        perms, mask, aux_mult, lr_sched, epochs, ema_p=None,
     ):
         carry, hist = scan_span(
             state, eval_key, best_p, best_c, best_e, train_split, val_stack,
-            perms, mask, aux_mult, lr_sched, epochs,
+            perms, mask, aux_mult, lr_sched, epochs, ema_p=ema_p,
         )
         return carry, hist
 
@@ -384,12 +423,10 @@ def make_ensemble_runner(
 
     # chunked dispatch: same epoch_body, explicit best-carry, absolute epoch
     # indices shared across members (in_axes=None)
-    run_chunk_v = jax.jit(
-        jax.vmap(
-            chunk_one,
-            in_axes=(0, 0, 0, 0, 0, data_axis, val_axis, 0, None, 0, 0, None),
-        )
-    )
+    chunk_axes = (0, 0, 0, 0, 0, data_axis, val_axis, 0, None, 0, 0, None)
+    if use_ema:
+        chunk_axes = chunk_axes + (0,)
+    run_chunk_v = jax.jit(jax.vmap(chunk_one, in_axes=chunk_axes))
 
     if refit_epochs:
         refit_v = jax.jit(
@@ -423,9 +460,13 @@ def make_ensemble_runner(
             val_stacks = None
         if lr_sched is None:
             lr_sched = jnp.ones_like(jnp.asarray(aux_mult))
+        tail = ()
+        if use_ema:
+            *head, ema_p = carry
+            carry, tail = tuple(head), (ema_p,)
         return run_chunk_v(
             *carry, train_splits, val_stacks, perms, mask, aux_mult,
-            lr_sched, jnp.asarray(epochs, jnp.int32),
+            lr_sched, jnp.asarray(epochs, jnp.int32), *tail,
         )
 
     def run_wrapped(
@@ -457,7 +498,9 @@ def make_ensemble_runner(
     def init_state(params, key) -> SVIState:
         return SVIState(params, optim.init(params), key)
 
-    out = EnsembleRunner(init_state, run_wrapped, run_chunk_wrapped, refit_v)
+    out = EnsembleRunner(
+        init_state, run_wrapped, run_chunk_wrapped, refit_v, tail_ema=use_ema
+    )
     _RUNNER_MEMO[memo_key] = out
     return out
 
@@ -493,6 +536,8 @@ def run_chunked(
         jnp.full((S,), jnp.inf, jnp.float32),
         jnp.zeros((S,), jnp.int32),
     )
+    if runner.tail_ema:
+        carry = carry + (jax.tree.map(jnp.asarray, states.params),)
     hists = []
     for s in range(0, E, chunk_epochs):
         e = min(s + chunk_epochs, E)
@@ -510,13 +555,16 @@ def run_chunked(
         hists.append(jax.tree.map(np.asarray, hist))
         if verbose:
             print(f"  chunk epochs [{s},{e}) done", flush=True)
-    states_f, eval_keys_f, bp, bc, be = carry
+    if runner.tail_ema:
+        states_f, eval_keys_f, bp, bc, be, ema = carry
+    else:
+        (states_f, eval_keys_f, bp, bc, be), ema = carry, None
     if runner.refit is not None:
         if refit_perms is None:
             raise ValueError("runner built with refit_epochs needs refit_perms")
         bp = runner.refit(bp, eval_keys_f, train_splits, refit_perms, mask)
     history = {k: np.concatenate([h[k] for h in hists], axis=1) for k in hists[0]}
-    return EnsembleResult(states_f, bp, bc, be, history)
+    return EnsembleResult(states_f, bp, bc, be, history, ema)
 
 
 def member_mesh(n_devices: Optional[int] = None, n_data: int = 1):

@@ -51,10 +51,17 @@ def pytest_configure(config):
 
         try:
             with open("/proc/cpuinfo") as f:
-                cpu_flags = next(
-                    (ln for ln in f if ln.startswith("flags")), ""
-                )
-            host_key = hashlib.sha256(cpu_flags.encode()).hexdigest()[:12]
+                lines = f.readlines()
+            # flags ALONE collide across CPU models whose feature strings
+            # match but whose LLVM target tuning differs (round 5: a cache
+            # written under identical flags on a different model spammed
+            # "machine type ... doesn't match" AOT-load errors and missed) —
+            # include the model name in the key
+            cpu_id = "".join(
+                next((ln for ln in lines if ln.startswith(p)), "")
+                for p in ("flags", "model name")
+            )
+            host_key = hashlib.sha256(cpu_id.encode()).hexdigest()[:12]
         except OSError:
             host_key = "nohost"
         env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(

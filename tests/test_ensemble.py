@@ -581,6 +581,104 @@ def test_selection_prior_l1_both_split_modes():
     assert l1_val != l1_train
 
 
+@pytest.mark.slow
+def test_tail_ema_tracking():
+    """Tail-phase EMA (make_ensemble_runner(tail_ema_decay=...)):
+
+    1. with start > E the EMA only tracks params -> ema_params == final
+       params exactly, and every other output is unchanged vs a no-EMA
+       runner (the feature is observationally pure);
+    2. with start=0 the EMA equals the hand-computed numpy EMA of the
+       per-epoch params captured via 1-epoch run_chunk calls;
+    3. run_chunked threads the EMA across chunk boundaries (== single run).
+    """
+    from structured_latent_odes_tpu.train.ensemble import run_chunked
+
+    config = _tiny_config(num_epochs=3)  # E = 4 epochs
+    splits = _synthetic_splits()
+    seeds = [5, 6]
+    spec = cvs_spec(config, n_time=T)
+    members = []
+    for seed in seeds:
+        key = set_seed(seed)
+        key, k_init, k_train, k_eval = jax.random.split(key, 4)
+        members.append(
+            {"params": init_params(k_init, spec), "k_train": k_train,
+             "k_eval": k_eval,
+             "perms": build_epoch_perms(
+                 N_TRAIN, BS, config.num_epochs, np.random.RandomState(seed)
+             )[0],
+             "aux_mult": aux_mult_schedule(config, config.num_epochs)}
+        )
+    mask = jnp.asarray(
+        build_epoch_perms(N_TRAIN, BS, 0, np.random.RandomState(0))[1]
+    )
+    train_splits = stack_members([splits["train"]] * len(seeds))
+    val_stacks = stack_members(
+        [stacked_minibatches(splits["val"], BS, shuffle=False)] * len(seeds)
+    )
+    perms = jnp.asarray(np.stack([m["perms"] for m in members]))
+    aux = jnp.asarray(np.stack([m["aux_mult"] for m in members]))
+    E = perms.shape[1]
+
+    def build(decay, start):
+        r = _cached_runner(
+            spec, config.learning_rate, members[0]["params"], policy="cvs",
+            tail_ema_decay=decay, tail_ema_start=start,
+        )
+        states = stack_members(
+            [r.init_state(m["params"], m["k_train"]) for m in members]
+        )
+        keys = jnp.stack([m["k_eval"] for m in members])
+        return r, states, keys
+
+    # 1. inactive EMA == final params; other outputs match the no-EMA runner
+    r_off, states, keys = build(0.0, 0)
+    r_late, states_l, keys_l = build(0.9, E + 50)
+    base = r_off.run(states, keys, train_splits, val_stacks, perms, mask, aux)
+    late = r_late.run(states_l, keys_l, train_splits, val_stacks, perms, mask, aux)
+    assert base.ema_params is None and late.ema_params is not None
+    for a, b in zip(
+        jax.tree.leaves(late.ema_params), jax.tree.leaves(late.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(base.best_params),
+                    jax.tree.leaves(late.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(base.best_crit),
+                                  np.asarray(late.best_crit))
+
+    # 2. active EMA == numpy EMA of per-epoch params, seeded at the INITIAL
+    # params (the implementation's "p_{-1}"), captured via 1-epoch chunks
+    d = 0.75
+    r_ema, states_e, keys_e = build(d, 0)
+    res = r_ema.run(states_e, keys_e, train_splits, val_stacks, perms, mask, aux)
+    carry = (states_e, keys_e, states_e.params,
+             jnp.full((len(seeds),), jnp.inf, jnp.float32),
+             jnp.zeros((len(seeds),), jnp.int32),
+             jax.tree.map(jnp.asarray, states_e.params))
+    expect = jax.tree.map(np.asarray, states_e.params)
+    for e in range(E):
+        carry, _ = r_ema.run_chunk(
+            carry, train_splits, val_stacks, perms[:, e:e + 1], mask,
+            aux[:, e:e + 1], None, np.arange(e, e + 1),
+        )
+        p_e = jax.tree.map(np.asarray, carry[0].params)
+        expect = jax.tree.map(
+            lambda old, new: d * old + (1 - d) * new, expect, p_e)
+    for a, b in zip(jax.tree.leaves(res.ema_params), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6, atol=1e-7)
+    # 3. and the chunked driver threads it identically
+    chunked = run_chunked(
+        r_ema, states_e, keys_e, train_splits, val_stacks, perms, mask, aux,
+        chunk_epochs=3,  # chunks of 3 + 1
+    )
+    for a, b in zip(jax.tree.leaves(chunked.ema_params),
+                    jax.tree.leaves(res.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_select_member_converged_epoch_guard():
     """select_member picks the criterion argmin among converged members only.
 
