@@ -164,10 +164,28 @@ def auto_chunk_epochs(n_members: int, num_epochs: int) -> int:
     return -(-num_epochs // n_chunks)
 
 
+def member_group_size(dataset: str, n_members: int) -> int:
+    """Auto member-group size: how many members share one vmapped dispatch.
+
+    XLA:TPU compile time for the PROC ensemble program grows steeply with
+    the vmapped member width (measured round 5 on the axon backend: S=2
+    compiles in ~260s, S=10 exceeded 570s and 10x4000 sweeps historically
+    died mid-compile as "TPU device error" — the RECIPES <=5-member caveat).
+    CVS/challenge compile fine to S>=16, so only proc groups by default.
+    Returns 0 (no grouping) or a group size that divides n_members as
+    evenly as possible at <=5, so every group reuses the SAME compiled
+    executable (make_ensemble_runner memoizes on the structural key, which
+    includes the member count only through array shapes)."""
+    if dataset != "proc" or n_members <= 5:
+        return 0
+    n_groups = -(-n_members // 5)
+    return -(-n_members // n_groups)
+
+
 def train_ensemble(
     members: List[Dict], *, num_particles=1, optimizer="shared",
     chunk_epochs: int | None = None, ensemble_parallel: int = 0,
-    ensemble_data_parallel: int = 1,
+    ensemble_data_parallel: int = 1, member_group: int = 0,
 ):
     """Stack member preps, compile once, run all members to completion.
 
@@ -185,6 +203,31 @@ def train_ensemble(
     XLA inserts the per-loss gradient psum over 'data') — the layout when S
     alone can't fill a pod slice.
     """
+    if member_group and len(members) > member_group:
+        # split the member axis into equal dispatch groups: group 2+ hits
+        # the memoized runner's jit cache, so the steep proc compile cost
+        # is paid ONCE (see member_group_size) while training wall-clock
+        # stays ~linear in S
+        G = member_group
+        n_groups = -(-len(members) // G)
+        results = []
+        for gi in range(0, len(members), G):
+            grp = members[gi:gi + G]
+            print(
+                f"  member group {gi // G + 1}/{n_groups} "
+                f"({len(grp)} members)", flush=True
+            )
+            results.append(train_ensemble(
+                grp, num_particles=num_particles, optimizer=optimizer,
+                chunk_epochs=chunk_epochs,
+                ensemble_parallel=ensemble_parallel,
+                ensemble_data_parallel=ensemble_data_parallel,
+            ))
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=0),
+            *results,
+        )
+
     m0 = members[0]
     spec, times, policy = m0["spec"], m0["times"], m0["policy"]
     cfg = m0["config"]
@@ -577,6 +620,12 @@ def parse_args(argv=None):
                    help="additionally shard each member's minibatch over "
                         "this many devices (('ens','data') 2-D mesh; total "
                         "devices = ensemble_parallel x this)")
+    p.add_argument("--member-group", type=int, default=None,
+                   help="members per vmapped dispatch (groups reuse one "
+                        "compiled program). Default: auto — proc groups at "
+                        "<=5 (XLA compile time blows up with member width "
+                        "there), other datasets run all members in one "
+                        "dispatch. 0 forces a single dispatch.")
     p.add_argument("--tail-ema", type=float, default=None,
                    help="track a tail-phase EMA of params with this decay "
                         "(e.g. 0.99); each member's EMA weights get their "
@@ -651,6 +700,11 @@ def main(argv=None):
     t0 = time.time()
     members = [prepare_member(args.dataset, config, s) for s in seeds]
     t_prep = time.time() - t0
+    group = (
+        args.member_group
+        if args.member_group is not None
+        else member_group_size(args.dataset, len(seeds))
+    )
     result = train_ensemble(
         members,
         num_particles=config.get("num_particles", 1),
@@ -658,6 +712,7 @@ def main(argv=None):
         chunk_epochs=args.chunk_epochs,
         ensemble_parallel=args.ensemble_parallel,
         ensemble_data_parallel=args.ensemble_data_parallel,
+        member_group=group,
     )
     t_train = time.time() - t0 - t_prep
     E = members[0]["perms"].shape[0]

@@ -679,6 +679,24 @@ def test_tail_ema_tracking():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_member_group_size_policy():
+    """Auto member-grouping (sweep.member_group_size): proc splits into
+    near-equal groups of <=5 (its XLA compile time blows up with vmapped
+    member width — measured S=2 ~260s vs S=10 >570s on the TPU backend,
+    the root cause of the historical 10x4000 'device errors'); cvs and
+    challenge never group; grouped dispatches are bit-exact with a single
+    dispatch (verified on a live 4-seed sweep, --member-group 2 vs 0)."""
+    from structured_latent_odes_tpu.sweep import member_group_size
+
+    assert member_group_size("cvs", 128) == 0
+    assert member_group_size("challenge", 8) == 0
+    assert member_group_size("proc", 5) == 0      # fits one dispatch
+    assert member_group_size("proc", 8) == 4      # 2 equal groups, 1 compile
+    assert member_group_size("proc", 10) == 5     # 2 equal groups
+    assert member_group_size("proc", 12) == 4     # 3 equal groups
+    assert member_group_size("proc", 11) == 4     # 4+4+3 (last recompiles)
+
+
 def test_select_member_converged_epoch_guard():
     """select_member picks the criterion argmin among converged members only.
 
