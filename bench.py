@@ -254,6 +254,9 @@ def bench_ensemble(S=16, epochs=20, n=810, batch=128, n_time=86,
     config.mini_batch_size = batch
     if ode_backend is not None:
         config.ode_backend = ode_backend
+    # let the shape-based auto dispatch see the vmapped member width, the
+    # same way sweep.py plumbs it for real ensemble sweeps
+    config.auto_width_mult = S
     spec = cvs_spec(config, n_time=n_time)
     r = np.random.RandomState(0)
     split = {

@@ -42,7 +42,7 @@ class OdeModelSpec:
     # 'semilinear' (parallel affine scan, default), 'semilinear_seq',
     # 'semilinear_pallas', 'semilinear_fused' (whole-solve Pallas kernel:
     # stage evals + affine extraction + scan fused, ops/fused_step.py),
-    # 'semilinear_auto' (shape-based assoc/pallas
+    # 'semilinear_auto' (shape-based assoc/pallas/fused
     # dispatch at trace time), 'semilinear_timepar' (sequence-parallel over
     # the mesh's time axis — requires parallel.timepar.time_sharding context),
     # 'generic' (sequential RK on the full RHS),
@@ -122,6 +122,30 @@ def dynamics_rhs_per_sample_time(params, t: Array, x: Array, z: Array) -> Array:
     return a - d * x
 
 
+# Third 'semilinear_auto' tier (measured, scripts/measure_ensemble_scaling.py
+# + the fused table in docs/PERFORMANCE.md): past ~16k concurrent trajectories
+# the whole-solve fused kernel beats even the Pallas affine scan (13.6k vs
+# 12.8k member-steps/s at S=128 x B=128 on v5e) because it never materializes
+# the (B, T-1, S, H) stage tensor; between semilinear._PALLAS_MIN_LANES and
+# this bound the Pallas scan wins, below that the associative scan. Same lane
+# unit as _PALLAS_MIN_LANES (flattened batch x state elements, physical
+# vmapped width folded in); the 64k value sits between the measured S=64
+# (pallas ahead, 40,960 lanes) and S=128 (fused ahead, 81,920) points.
+_FUSED_MIN_LANES = 65536
+_FUSED_SOLVERS = ("euler", "midpoint", "heun", "rk4")
+
+
+def _auto_picks_fused(spec: OdeModelSpec, z: Array) -> bool:
+    """Trace-time choice of the whole-solve fused kernel for 'semilinear_auto'."""
+    return (
+        jax.default_backend() == "tpu"
+        and spec.solver in _FUSED_SOLVERS
+        and z.ndim == 2
+        and z.shape[0] * spec.ode_state_dim * max(1, int(spec.auto_width_mult))
+        >= _FUSED_MIN_LANES
+    )
+
+
 def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
     """Integrate from x0(z) over ts. Returns (B, T, D) — batch-major layout
     matching the reference's ``sol.permute(1, 0, 2)`` (blackbox_ode.py:47)."""
@@ -147,7 +171,9 @@ def solve_ode(spec: OdeModelSpec, params, z: Array, ts: Array) -> Array:
             time_axis=ctx.time_axis,
             batch_axis=ctx.batch_axis,
         )
-    if spec.backend == "semilinear_fused":
+    if spec.backend == "semilinear_fused" or (
+        spec.backend == "semilinear_auto" and _auto_picks_fused(spec, z)
+    ):
         # whole-solve Pallas kernel: stage evals + affine extraction + scan
         # in ONE program, zero HBM intermediates (ops/fused_step.py)
         from structured_latent_odes_tpu.ops.fused_step import fused_semilinear_solve

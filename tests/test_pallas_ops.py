@@ -138,6 +138,35 @@ def test_auto_backend_via_model_spec():
     )
 
 
+def test_auto_fused_tier_pick():
+    """The 'semilinear_auto' third tier (whole-solve fused kernel) engages
+    only on TPU, only for fixed-step tableaus, and only past the measured
+    wide crossover (docs/PERFORMANCE.md fused table: pallas scan still wins
+    at S=64 x B=128 = 40,960 lanes; fused wins at S=128 = 81,920)."""
+    from structured_latent_odes_tpu.nn.ode_model import (
+        _FUSED_MIN_LANES,
+        OdeModelSpec,
+        _auto_picks_fused,
+    )
+
+    mk = lambda **kw: OdeModelSpec(
+        latent_dim=15, ode_state_dim=5, ode_hidden_dim=25,
+        backend="semilinear_auto", **kw,
+    )
+    z = jnp.zeros((128, 15))  # per-member batch 128, D=5
+    wide = mk(auto_width_mult=_FUSED_MIN_LANES // (128 * 5) + 1)
+    narrow = mk(auto_width_mult=64)  # 40,960 lanes: pallas regime
+    if jax.default_backend() == "tpu":
+        assert _auto_picks_fused(wide, z)
+        assert not _auto_picks_fused(narrow, z)
+        # adaptive solvers have no fixed-step tableau walk in the kernel
+        assert not _auto_picks_fused(
+            mk(auto_width_mult=1024, solver="dopri5"), z
+        )
+    else:
+        assert not _auto_picks_fused(wide, z)
+
+
 def test_auto_width_mult_plumbing():
     """num_particles (vmapped in make_dual_step) and the sweep's member count
     (config.auto_width_mult) both reach the ode spec's width hint."""
