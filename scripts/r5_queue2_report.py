@@ -40,11 +40,26 @@ def main():
         priors = [m["l1_prior"] for m in d["members"]]
         passes += ok
         total += 1
+
+        # do the training-time signals even rank the test metrics on this
+        # fold? (Spearman rho; selection can only work where they do)
+        def spearman(a, b):
+            ra = np.argsort(np.argsort(a)).astype(float)
+            rb = np.argsort(np.argsort(b)).astype(float)
+            ra -= ra.mean()
+            rb -= rb.mean()
+            return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+        crits = [m["criterion"] for m in d["members"]]
+        sel_p = [m["sel_prior_l1"] for m in d["members"]]
+        rho_post = spearman(crits, posts)
+        rho_prior = spearman(sel_p, priors)
         print(
             f"{name}: selected seed {s['seed']} post {s['l1_post']:.3f} vs "
             f"q19med {med_post} | prior {s['l1_prior']:.3f} vs {med_prior} -> "
             f"{'pass' if ok else 'MISS'} (vetoed {s.get('n_prior_vetoed')}; "
-            f"own-sweep medians {np.median(posts):.3f}/{np.median(priors):.3f})"
+            f"own-sweep medians {np.median(posts):.3f}/{np.median(priors):.3f}; "
+            f"rho crit-post {rho_post:+.2f}, selprior-prior {rho_prior:+.2f})"
         )
     print(f"cross-fold tally: {passes}/{total}")
 
