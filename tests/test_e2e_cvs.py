@@ -85,6 +85,25 @@ def test_cvs_driver_end_to_end(tmp_path):
         z = np.load(out_npz)
         assert z["mu_50"].shape == batch["observations"].shape
         assert "pred_iext" in z and np.isfinite(z["l1"])
+
+        # ensemble serving: averaging the SAME checkpoint twice must equal
+        # the single-model prediction (and recomputed l1 must match recon's
+        # masked bookkeeping on an unmasked split: plain mean abs)
+        ens_npz = str(tmp_path / "preds_ens.npz")
+        serve.main([
+            "--dataset", "cvs",
+            "--checkpoint", os.path.join(rd, "best_model.npz"),
+            os.path.join(rd, "best_model.npz"),
+            "--output", ens_npz, "--classify",
+        ])
+        ze = np.load(ens_npz)
+        np.testing.assert_allclose(ze["mu_50"], z["mu_50"], atol=1e-6)
+        np.testing.assert_allclose(
+            float(ze["l1"]),
+            float(np.mean(np.abs(z["mu_50"] - batch["observations"]))),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(ze["pred_iext"], z["pred_iext"])
     finally:
         configs.LOADERS["cvs"] = orig
 
