@@ -436,6 +436,88 @@ def finalize_member(
 # ---------------------------------------------------------------------------
 
 
+def veto_pool(members: List[Dict], min_best_epoch: int, margin: float) -> List[Dict]:
+    """The guard + prior-veto survivor pool — mirrors the filter
+    :func:`select_member` ranks within (tests pin the two against each
+    other)."""
+    pool = [m for m in members if m["best_epoch"] >= min_best_epoch] or members
+    if not all(m.get("sel_prior_l1") is not None for m in pool):
+        return pool
+    best_sp = min(m["sel_prior_l1"] for m in pool)
+    return [m for m in pool if m["sel_prior_l1"] <= best_sp * (1.0 + margin)]
+
+
+def build_deployments(
+    dataset: str,
+    cfg,
+    summary: List[Dict],
+    results_root: str,
+    min_best_epoch: int,
+    prior_veto_margin: float,
+) -> Dict:
+    """Materialize and score the AVERAGED deployments (RESULTS.md queues
+    36B/37 — blind 3/3, beating member selection on every workload):
+
+    - ``deploy_mean/``      — elementwise mean of every member's prediction
+      artifacts (mu_25/50/75 bands, sample dumps, solution_xt, z)
+    - ``deploy_veto_mean/`` — the same mean over the guard+veto survivor pool
+
+    Each is a REAL artifact dir (shared observation/label files copied from
+    member 0) scored with the same notebook metric as the members, so the
+    eval CLI runs on it unchanged. Averaging requires a SHARED eval split:
+    proc CV sweeps without ``--data-seed`` tie fold membership to the member
+    seed (data/proc.py::split_folds — reference quirk) and are skipped with
+    a note; proc heldout splits by device name (deterministic) and cvs /
+    challenge / data-seed'd proc sweeps all share their split.
+    """
+    heldout = dataset == "proc" and cfg.get("heldout")
+    if dataset == "proc" and not heldout and cfg.get("data_seed") is None:
+        return {
+            "note": "skipped: per-member fold membership (no --data-seed); "
+            "members have no shared val split to average over"
+        }
+    import shutil
+
+    from structured_latent_odes_tpu.eval import metrics as EM
+
+    metric_fn = {
+        "cvs": EM.cvs_class_averaged_l1,
+        "proc": EM.synbio_heldout_l1 if heldout else EM.synbio_device_averaged_l1,
+        "challenge": EM.challenge_outcome_averaged_l1,
+    }[dataset]
+    pools = {
+        "mean": summary,
+        "veto_mean": veto_pool(summary, min_best_epoch, prior_veto_margin),
+    }
+    out = {}
+    for name, pool in pools.items():
+        dirs = [m["results_dir"] for m in pool]
+        dst = os.path.join(results_root, f"deploy_{name}")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(dirs[0]):
+            if not f.endswith(".npy"):
+                continue
+            if f.startswith(("mu_", "solution_xt", "z_")):
+                np.save(
+                    os.path.join(dst, f),
+                    np.mean([np.load(os.path.join(d, f)) for d in dirs], axis=0),
+                )
+            else:  # shared split data: observations, times, labels
+                shutil.copyfile(os.path.join(dirs[0], f), os.path.join(dst, f))
+        row = {
+            "l1_post": metric_fn(dst, "post"),
+            "l1_prior": metric_fn(dst, "prior"),
+            "n_members": len(pool),
+            "results_dir": dst,
+        }
+        if heldout:
+            row["l1_post_per_condition"] = EM.synbio_heldout_l1_per_condition(
+                dst, "post", base=row["l1_post"]
+            )
+        out[name] = row
+    return out
+
+
 def selection_prior_l1(member: Dict, best_params, reconstruct) -> float:
     """Prior-mode reconstruction L1 on the member's SELECTION split, at the
     member's best params — the second selection signal (alongside the
@@ -778,12 +860,17 @@ def main(argv=None):
             f"WARNING: no member reached best_epoch>={guard}; selection fell "
             "back to the unguarded pool (selected.guard_fallback=true)"
         )
+    deployments = build_deployments(
+        args.dataset, config, summary, args.results_root,
+        guard, args.prior_veto_margin,
+    )
     out = {
         "dataset": args.dataset,
         "seeds": seeds,
         "config": json.loads(config.to_json()),
         "members": summary,
         "selected": {**picked, "min_best_epoch": guard},
+        "deployments": deployments,
         "wall_seconds": wall,
         "train_seconds": t_train,
     }
@@ -810,6 +897,12 @@ def main(argv=None):
         f"seed {picked['seed']} -> post {picked['l1_post']:.4f}  "
         f"prior {picked['l1_prior']:.4f}"
     )
+    for name, row in deployments.items():
+        if "l1_post" in row:
+            print(
+                f"DEPLOYED {name} ({row['n_members']} members): "
+                f"post {row['l1_post']:.4f}  prior {row['l1_prior']:.4f}"
+            )
     return out
 
 

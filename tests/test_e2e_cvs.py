@@ -108,6 +108,52 @@ def test_cvs_driver_end_to_end(tmp_path):
         configs.LOADERS["cvs"] = orig
 
 
+def test_sweep_cli_end_to_end_with_deployments(tmp_path):
+    """Tiny 2-seed CVS ensemble sweep through sweep.main: members, selection,
+    and the AVERAGED deployments (deploy_mean / deploy_veto_mean artifact
+    dirs, RESULTS.md queues 36B/37) land in sweep.json, and the eval CLI
+    scores the deployment dir to the same number sweep.json records."""
+    from structured_latent_odes_tpu import sweep
+
+    data_dir = str(tmp_path / "data") + os.sep
+    results_root = str(tmp_path / "sweep")
+    from structured_latent_odes_tpu.data import cvs
+
+    cvs.make_dataset(data_dir, data_size=30, seq_len=86, seed=0)
+
+    out = sweep.main([
+        "cvs", "--seeds", "0,1",
+        "--data-path", data_dir,
+        "--results-root", results_root,
+        "--num-epochs", "2",
+        "--mini-batch-size", "16",
+    ])
+    assert len(out["members"]) == 2
+    assert np.isfinite(out["selected"]["l1_post"])
+    dep = out["deployments"]
+    for name in ("mean", "veto_mean"):
+        row = dep[name]
+        assert np.isfinite(row["l1_post"]) and np.isfinite(row["l1_prior"])
+        d = os.path.join(results_root, f"deploy_{name}")
+        assert row["results_dir"] == d
+        for f in ("mu_50_post.npy", "mu_50_prior.npy", "observations.npy",
+                  "iext.npy", "times.npy"):
+            assert os.path.exists(os.path.join(d, f)), f
+    assert dep["mean"]["n_members"] == 2
+
+    # the averaged artifacts really are the member mean
+    m0 = np.load(os.path.join(results_root, "seed0", "results_Mechanistic", "mu_50_post.npy"))
+    m1 = np.load(os.path.join(results_root, "seed1", "results_Mechanistic", "mu_50_post.npy"))
+    md = np.load(os.path.join(results_root, "deploy_mean", "mu_50_post.npy"))
+    np.testing.assert_allclose(md, (m0 + m1) / 2.0, atol=1e-6)
+
+    # and the eval CLI reproduces the recorded deployment metric
+    from structured_latent_odes_tpu.eval import cvs_class_averaged_l1
+
+    got = cvs_class_averaged_l1(os.path.join(results_root, "deploy_mean"), "post")
+    np.testing.assert_allclose(got, dep["mean"]["l1_post"], rtol=1e-6)
+
+
 def test_proc_driver_end_to_end(tmp_path):
     """Tiny proc (synbio) training through the real CLI main()."""
     from structured_latent_odes_tpu.training_proc import main

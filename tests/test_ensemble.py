@@ -818,3 +818,13 @@ def test_select_member_prior_veto():
     legacy_pick = select_member(members, min_best_epoch=2000,
                                 prior_veto_margin=float("inf"))
     assert legacy_pick["seed"] == 77 and legacy_pick["l1_prior"] > 38.969
+
+    # veto_pool (the averaged-deployment filter) mirrors select_member's
+    # guard+veto exactly on this fixture: survivors are the tight-prior
+    # members, with the guard knocking out 78 (best_epoch 2321 >= 2000 ok —
+    # all pass the guard here) — i.e. the same 4 seeds the rule vetoes
+    from structured_latent_odes_tpu.sweep import veto_pool
+
+    pool = veto_pool(members, min_best_epoch=2000, margin=0.05)
+    assert sorted(m["seed"] for m in pool) == [78, 81, 82, 83]
+    assert len(members) - len(pool) == picked["n_prior_vetoed"]
